@@ -1,0 +1,257 @@
+"""Paged KV cache as an explicit JAX state pytree, with a traceable allocator.
+
+Capability parity with the reference's runtime memory subsystem:
+- ``KVCacheMemoryManager`` (/root/reference/lite_llama/executor/mem_manager.py:146)
+  — token-granular pool with a free-state vector and alloc/free/refcount.
+- ``ReqTokensManager`` (req_tokens_manager.py:7) — the per-request
+  (request, position) -> pool-slot indirection table.
+
+TPU-native redesign (deliberate, per SURVEY.md §7): the reference allocates
+token-granular slots (block_size=1) with ``torch.nonzero`` + host loops —
+data-dependent shapes that cannot live under ``jit``. Here:
+
+- Pages of ``page_size`` tokens (TPU-friendly: each page is a contiguous
+  [page_size, head_dim] tile, a clean DMA unit for the Pallas decode kernel).
+- A free-page *stack* + scalar stack-top instead of a refcount scan: popping N
+  pages is a gather at ``free_top - 1 - rank`` — fixed shapes, fully traceable.
+- Allocation ranks come from a cumsum over the per-request need mask, replacing
+  the reference's contiguous-first search (mem_manager.py:207) which has no
+  meaning for paged HBM.
+- The whole cache is a dataclass pytree threaded through jitted step functions
+  and donated, so XLA updates the pools in place.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def cdiv(a, b):
+    return (a + b - 1) // b
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class PagedKVCache:
+    """Paged KV pool + request table + allocator state.
+
+    Shapes (L=layers, Hkv=kv heads, P=num pages, ps=page size, D=head dim):
+      k_pages, v_pages : [L, Hkv, P, ps, D]
+      page_table       : int32 [max_reqs, pages_per_req]
+      seq_lens         : int32 [max_reqs] (tokens currently stored per slot)
+      free_stack       : int32 [P] (free page ids; top ``free_top`` are free)
+      free_top         : int32 scalar
+    """
+
+    k_pages: jax.Array
+    v_pages: jax.Array
+    page_table: jax.Array
+    seq_lens: jax.Array
+    free_stack: jax.Array
+    free_top: jax.Array
+
+    # -- static helpers ---------------------------------------------------
+    @property
+    def page_size(self) -> int:
+        return self.k_pages.shape[3]
+
+    @property
+    def num_pages(self) -> int:
+        return self.k_pages.shape[2]
+
+    @property
+    def pages_per_req(self) -> int:
+        return self.page_table.shape[1]
+
+    @property
+    def max_reqs(self) -> int:
+        return self.page_table.shape[0]
+
+
+def create_kv_cache(
+    num_layers: int,
+    num_kv_heads: int,
+    head_dim: int,
+    num_pages: int,
+    page_size: int = 64,
+    max_reqs: int = 64,
+    max_seq_len: int = 2048,
+    dtype=jnp.bfloat16,
+) -> PagedKVCache:
+    pages_per_req = cdiv(max_seq_len, page_size)
+    shape = (num_layers, num_kv_heads, num_pages, page_size, head_dim)
+    return PagedKVCache(
+        k_pages=jnp.zeros(shape, dtype),
+        v_pages=jnp.zeros(shape, dtype),
+        page_table=jnp.zeros((max_reqs, pages_per_req), jnp.int32),
+        seq_lens=jnp.zeros((max_reqs,), jnp.int32),
+        # Stack is stored so that the first pop returns page P-1, but any
+        # order works; pages are interchangeable.
+        free_stack=jnp.arange(num_pages, dtype=jnp.int32),
+        free_top=jnp.asarray(num_pages, jnp.int32),
+    )
+
+
+def kv_cache_bytes(
+    num_layers, num_kv_heads, head_dim, num_pages, page_size, dtype=jnp.bfloat16
+) -> int:
+    per = num_layers * num_kv_heads * num_pages * page_size * head_dim
+    return 2 * per * jnp.dtype(dtype).itemsize
+
+
+# ---------------------------------------------------------------------------
+# Allocation (all shapes static; everything masked)
+
+
+def _pop_pages(cache: PagedKVCache, need: jax.Array):
+    """Pop pages for a flat boolean/int ``need`` mask.
+
+    Returns (page_ids, new_free_top): page_ids[i] is a fresh page where
+    need[i], else an arbitrary (unpopped) id the caller must mask out.
+    """
+    need = need.astype(jnp.int32)
+    rank = jnp.cumsum(need) - need  # exclusive cumsum: rank among allocations
+    total = jnp.sum(need)
+    idx = cache.free_top - 1 - rank
+    page_ids = cache.free_stack[jnp.maximum(idx, 0)]
+    return page_ids, cache.free_top - total
+
+
+def alloc_prefill(
+    cache: PagedKVCache, req_ids: jax.Array, lens: jax.Array
+) -> PagedKVCache:
+    """Allocate pages for ``lens[b]`` tokens in request slot ``req_ids[b]``
+    and reset those slots' lengths. Traceable; no host round-trips
+    (replaces mem_manager.py:243 + model_executor.py:263's host loop)."""
+    B = req_ids.shape[0]
+    ppr = cache.pages_per_req
+    pages_needed = cdiv(lens, cache.page_size)  # [B]
+    j = jnp.arange(ppr, dtype=jnp.int32)
+    need = (j[None, :] < pages_needed[:, None]).reshape(-1)  # [B*ppr]
+    page_ids, new_top = _pop_pages(cache, need)
+    page_ids = page_ids.reshape(B, ppr)
+    rows = jnp.where(
+        need.reshape(B, ppr), page_ids, jnp.zeros((), jnp.int32)
+    )
+    return PagedKVCache(
+        k_pages=cache.k_pages,
+        v_pages=cache.v_pages,
+        page_table=cache.page_table.at[req_ids].set(rows),
+        seq_lens=cache.seq_lens.at[req_ids].set(lens),
+        free_stack=cache.free_stack,
+        free_top=new_top,
+    )
+
+
+def alloc_decode(cache: PagedKVCache, req_ids: jax.Array) -> PagedKVCache:
+    """Make room for one more token in each request slot: pop a page for the
+    slots whose current length lands exactly on a page boundary, bump lengths
+    (replaces decode_alloc_kv_cache, model_executor.py:346-361 — but allocates
+    *before* the forward instead of the reference's 1-step-lagged protocol)."""
+    old_len = cache.seq_lens[req_ids]  # [B]
+    need = (old_len % cache.page_size) == 0
+    page_ids, new_top = _pop_pages(cache, need)
+    slot = old_len // cache.page_size
+    cur = cache.page_table[req_ids, slot]
+    rows = jnp.where(need, page_ids, cur)
+    return PagedKVCache(
+        k_pages=cache.k_pages,
+        v_pages=cache.v_pages,
+        page_table=cache.page_table.at[req_ids, slot].set(rows),
+        seq_lens=cache.seq_lens.at[req_ids].set(old_len + 1),
+        free_stack=cache.free_stack,
+        free_top=new_top,
+    )
+
+
+def free_requests(cache: PagedKVCache, req_ids: jax.Array) -> PagedKVCache:
+    """Push all pages owned by the given request slots back onto the free
+    stack and zero their lengths (replaces release_ref/free_all,
+    mem_manager.py:260-305)."""
+    B = req_ids.shape[0]
+    ppr = cache.pages_per_req
+    used = cdiv(cache.seq_lens[req_ids], cache.page_size)  # [B]
+    j = jnp.arange(ppr, dtype=jnp.int32)
+    mask = (j[None, :] < used[:, None]).reshape(-1)
+    pages = cache.page_table[req_ids].reshape(-1)
+    m = mask.astype(jnp.int32)
+    rank = jnp.cumsum(m) - m
+    total = jnp.sum(m)
+    dst = jnp.where(mask, cache.free_top + rank, cache.num_pages)  # OOB -> drop
+    new_stack = cache.free_stack.at[dst].set(pages, mode="drop")
+    return PagedKVCache(
+        k_pages=cache.k_pages,
+        v_pages=cache.v_pages,
+        page_table=cache.page_table.at[req_ids].set(
+            jnp.zeros((B, ppr), jnp.int32)
+        ),
+        seq_lens=cache.seq_lens.at[req_ids].set(jnp.zeros((B,), jnp.int32)),
+        free_stack=new_stack,
+        free_top=cache.free_top + total,
+    )
+
+
+# ---------------------------------------------------------------------------
+# KV writes (per layer, called from inside the model forward)
+
+
+def kv_write_prefill(
+    k_pages: jax.Array,  # [L, Hkv, P, ps, D]
+    v_pages: jax.Array,
+    layer: jax.Array | int,
+    k_new: jax.Array,  # [B, S, Hkv, D]
+    v_new: jax.Array,
+    table_rows: jax.Array,  # int32 [B, pages_per_req] (gathered for the batch)
+    start_pos: jax.Array,  # int32 [B] (0 for fresh prefill; >0 = chunked)
+    lens: jax.Array,  # int32 [B] — valid token count in this chunk
+):
+    """Scatter a prefill chunk's K/V into the paged pool
+    (replaces update_kv_buffer, kernels/update_kv_buffer.py:8).
+
+    Pad positions (s >= lens[b]) are routed out-of-bounds and dropped.
+    """
+    B, S = k_new.shape[0], k_new.shape[1]
+    ps = k_pages.shape[3]
+    s = jnp.arange(S, dtype=jnp.int32)
+    pos = start_pos[:, None] + s[None, :]  # [B, S]
+    page_slot = pos // ps
+    off = pos % ps
+    page = jnp.take_along_axis(table_rows, page_slot, axis=1)  # [B, S]
+    valid = s[None, :] < lens[:, None]
+    page = jnp.where(valid, page, k_pages.shape[2])  # OOB page -> dropped
+    k_pages = k_pages.at[layer, :, page, off].set(
+        k_new.astype(k_pages.dtype), mode="drop"
+    )
+    v_pages = v_pages.at[layer, :, page, off].set(
+        v_new.astype(v_pages.dtype), mode="drop"
+    )
+    return k_pages, v_pages
+
+
+def kv_write_decode(
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    layer: jax.Array | int,
+    k_new: jax.Array,  # [B, Hkv, D]
+    v_new: jax.Array,
+    table_rows: jax.Array,  # int32 [B, pages_per_req]
+    pos: jax.Array,  # int32 [B] — position to write (seq_len - 1 after alloc)
+    active: jax.Array | None = None,  # bool [B] — inactive rows are dropped
+):
+    """Scatter one decode token per request into the pool."""
+    ps = k_pages.shape[3]
+    page = jnp.take_along_axis(table_rows, (pos // ps)[:, None], axis=1)[:, 0]
+    off = pos % ps
+    if active is not None:
+        page = jnp.where(active, page, k_pages.shape[2])  # OOB -> dropped
+    k_pages = k_pages.at[layer, :, page, off].set(
+        k_new.astype(k_pages.dtype), mode="drop"
+    )
+    v_pages = v_pages.at[layer, :, page, off].set(
+        v_new.astype(v_pages.dtype), mode="drop"
+    )
+    return k_pages, v_pages

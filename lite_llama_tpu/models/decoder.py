@@ -1,0 +1,245 @@
+"""Generic decoder-only transformer (Llama-3.x / Qwen2.5 / Qwen3).
+
+Capability parity with the reference's three near-identical model files
+(/root/reference/lite_llama/models/llama.py:226, qwen2.py:265, qwen3.py:247).
+The architectural deltas between them are config flags, so one functional
+forward serves all three:
+
+- Qwen2: q/k/v projection biases   (qwen2.py:95-106 -> cfg.attention_bias)
+- Qwen3: per-head q/k RMSNorm pre-RoPE (qwen3.py:115-116 -> cfg.qk_norm),
+  head_dim decoupled from hidden_size
+- tied vs untied lm_head            (llama.py:255-257)
+
+TPU-native design (not a translation):
+- Weights are a pytree of stacked per-layer arrays [L, ...]; layers run under
+  ``lax.scan`` so the HLO is O(1) in depth and XLA pipelines weight prefetch.
+- QKV is a single fused [H, (Hq+2*Hkv)*D] matmul (the reference fuses only
+  K+V, llama.py:58-62; fusing Q too is strictly better for the MXU), and
+  gate+up is a single fused [H, 2*I] matmul.
+- Prefill and decode are two separate traced functions (no `seq_len>1`
+  branching at runtime — the reference dispatches in Python per call,
+  llama.py:210-217; under jit that must be two specializations).
+- KV lands directly in the paged pool (executor/kv_cache.py); attention reads
+  through the page table. No padded [B, max_seq] KV tensors ever exist.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import ops
+from ..executor.kv_cache import kv_write_decode, kv_write_prefill
+from .rotary import compute_inv_freq
+
+
+class AttnContext(NamedTuple):
+    """Per-step attention metadata (reference AttentionInfo,
+    executor_struct.py:23 — here an immutable value, not a mutable carrier)."""
+
+    table_rows: jax.Array  # int32 [B, pages_per_req] — page table rows
+    seq_lens: jax.Array  # int32 [B] — total stored tokens incl. this step
+    start_pos: jax.Array  # int32 [B] — first position written this step
+    chunk_lens: jax.Array  # int32 [B] — valid tokens in this chunk (prefill)
+    active: Optional[jax.Array] = None  # bool [B] — decode: still generating
+
+
+# ---------------------------------------------------------------------------
+# Param init (random; the weight converter fills the same tree from HF)
+
+
+def init_decoder_params(cfg, key, scale: float = 0.02) -> dict:
+    L = cfg.num_hidden_layers
+    H = cfg.hidden_size
+    D = cfg.head_dim
+    Hq, Hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    I = cfg.intermediate_size
+    V = cfg.vocab_size
+    dt = cfg.dtype
+    ks = jax.random.split(key, 8)
+
+    def init(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dt)
+
+    layers = {
+        "attn_norm": jnp.ones((L, H), dt),
+        "qkv_proj": init(ks[0], (L, H, (Hq + 2 * Hkv) * D)),
+        "o_proj": init(ks[1], (L, Hq * D, H)),
+        "mlp_norm": jnp.ones((L, H), dt),
+        "gate_up_proj": init(ks[2], (L, H, 2 * I)),
+        "down_proj": init(ks[3], (L, I, H)),
+    }
+    if cfg.attention_bias:
+        layers["qkv_bias"] = jnp.zeros((L, (Hq + 2 * Hkv) * D), dt)
+    if getattr(cfg, "qk_norm", False):
+        layers["q_norm"] = jnp.ones((L, D), dt)
+        layers["k_norm"] = jnp.ones((L, D), dt)
+    params = {
+        "embed": init(ks[4], (V, H)),
+        "layers": layers,
+        "final_norm": jnp.ones((H,), dt),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = init(ks[5], (H, V))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Shared layer math
+
+
+def _qkv_split(cfg, qkv, batch_dims):
+    D = cfg.head_dim
+    Hq, Hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    q, k, v = jnp.split(qkv, [Hq * D, (Hq + Hkv) * D], axis=-1)
+    q = q.reshape(*batch_dims, Hq, D)
+    k = k.reshape(*batch_dims, Hkv, D)
+    v = v.reshape(*batch_dims, Hkv, D)
+    return q, k, v
+
+
+def _maybe_qk_norm(cfg, lp, q, k):
+    if "q_norm" in lp:
+        q = ops.rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+        k = ops.rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+    return q, k
+
+
+def _mlp(cfg, lp, x):
+    gate_up = x @ lp["gate_up_proj"]
+    gate, up = jnp.split(gate_up, 2, axis=-1)
+    return ops.swiglu(gate, up) @ lp["down_proj"]
+
+
+def _unembed(params, cfg, normed):
+    if "lm_head" in params:
+        w = params["lm_head"]
+    else:
+        w = params["embed"].T
+    return jnp.dot(normed, w, preferred_element_type=jnp.float32)
+
+
+def _rope_tables(cfg, positions):
+    inv_freq, att_scale = compute_inv_freq(cfg)
+    return ops.rope_cos_sin(positions, jnp.asarray(inv_freq), att_scale)
+
+
+# ---------------------------------------------------------------------------
+# Prefill forward: [B, S] tokens -> logits for every position
+
+
+def decoder_prefill(
+    params: dict,
+    cfg,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    ctx: AttnContext,
+    input_ids: Optional[jax.Array] = None,  # int32 [B, S]
+    inputs_embeds: Optional[jax.Array] = None,  # [B, S, H] (LLaVA path)
+    positions: Optional[jax.Array] = None,  # int32 [B, S]
+):
+    """Returns (logits [B, S, V] fp32, k_pages, v_pages)."""
+    if inputs_embeds is None:
+        h = params["embed"][input_ids]
+    else:
+        h = inputs_embeds.astype(cfg.dtype)
+    B, S, H = h.shape
+    if positions is None:
+        positions = ctx.start_pos[:, None] + jnp.arange(S, dtype=jnp.int32)
+    cos, sin = _rope_tables(cfg, positions)
+    sm_scale = 1.0 / (cfg.head_dim**0.5)
+
+    def layer_fn(carry, xs):
+        x, residual, k_pages, v_pages = carry
+        lp, li = xs
+        normed, residual = ops.skip_rms_norm(
+            x, residual, lp["attn_norm"], cfg.rms_norm_eps
+        )
+        qkv = normed @ lp["qkv_proj"]
+        if "qkv_bias" in lp:
+            qkv = qkv + lp["qkv_bias"]
+        q, k, v = _qkv_split(cfg, qkv, (B, S))
+        q, k = _maybe_qk_norm(cfg, lp, q, k)
+        q = ops.apply_rope(q, cos, sin)
+        k = ops.apply_rope(k, cos, sin)
+        k_pages, v_pages = kv_write_prefill(
+            k_pages, v_pages, li, k, v, ctx.table_rows, ctx.start_pos,
+            ctx.chunk_lens,
+        )
+        attn = ops.prefill_attention(q, k, v, ctx.chunk_lens, sm_scale)
+        attn_out = attn.reshape(B, S, -1) @ lp["o_proj"]
+        normed2, residual = ops.skip_rms_norm(
+            attn_out, residual, lp["mlp_norm"], cfg.rms_norm_eps
+        )
+        mlp_out = _mlp(cfg, lp, normed2)
+        return (mlp_out, residual, k_pages, v_pages), None
+
+    L = cfg.num_hidden_layers
+    init = (h, jnp.zeros_like(h), k_pages, v_pages)
+    xs = (params["layers"], jnp.arange(L, dtype=jnp.int32))
+    (x, residual, k_pages, v_pages), _ = jax.lax.scan(layer_fn, init, xs)
+    normed, _ = ops.skip_rms_norm(x, residual, params["final_norm"], cfg.rms_norm_eps)
+    logits = _unembed(params, cfg, normed)
+    return logits, k_pages, v_pages
+
+
+# ---------------------------------------------------------------------------
+# Decode forward: one token per request -> next-token logits
+
+
+def decoder_decode(
+    params: dict,
+    cfg,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    ctx: AttnContext,
+    input_ids: jax.Array,  # int32 [B]
+):
+    """Returns (logits [B, V] fp32, k_pages, v_pages).
+
+    ``ctx.start_pos`` is the position being written (seq_len - 1 after
+    allocation); ``ctx.seq_lens`` includes the new token.
+    """
+    h = params["embed"][input_ids]  # [B, H]
+    B, H = h.shape
+    cos, sin = _rope_tables(cfg, ctx.start_pos)  # [B, D/2]
+    sm_scale = 1.0 / (cfg.head_dim**0.5)
+    max_seq = ctx.table_rows.shape[1] * k_pages.shape[3]
+
+    def layer_fn(carry, xs):
+        x, residual, k_pages, v_pages = carry
+        lp, li = xs
+        normed, residual = ops.skip_rms_norm(
+            x, residual, lp["attn_norm"], cfg.rms_norm_eps
+        )
+        qkv = normed @ lp["qkv_proj"]
+        if "qkv_bias" in lp:
+            qkv = qkv + lp["qkv_bias"]
+        q, k, v = _qkv_split(cfg, qkv, (B,))
+        q, k = _maybe_qk_norm(cfg, lp, q, k)
+        q = ops.apply_rope(q, cos, sin)
+        k = ops.apply_rope(k, cos, sin)
+        k_pages, v_pages = kv_write_decode(
+            k_pages, v_pages, li, k, v, ctx.table_rows, ctx.start_pos,
+            ctx.active,
+        )
+        attn = ops.paged_decode_attention(
+            q, k_pages, v_pages, li, ctx.table_rows, ctx.seq_lens,
+            max_seq, sm_scale,
+        )
+        attn_out = attn.reshape(B, -1) @ lp["o_proj"]
+        normed2, residual = ops.skip_rms_norm(
+            attn_out, residual, lp["mlp_norm"], cfg.rms_norm_eps
+        )
+        mlp_out = _mlp(cfg, lp, normed2)
+        return (mlp_out, residual, k_pages, v_pages), None
+
+    L = cfg.num_hidden_layers
+    init = (h, jnp.zeros_like(h), k_pages, v_pages)
+    xs = (params["layers"], jnp.arange(L, dtype=jnp.int32))
+    (x, residual, k_pages, v_pages), _ = jax.lax.scan(layer_fn, init, xs)
+    normed, _ = ops.skip_rms_norm(x, residual, params["final_norm"], cfg.rms_norm_eps)
+    logits = _unembed(params, cfg, normed)
+    return logits, k_pages, v_pages

@@ -1,0 +1,110 @@
+"""RoPE frequency generation.
+
+Capability parity with the reference's ``RotaryEmbedding``
+(/root/reference/lite_llama/models/RotaryEmbedding.py:68-200): default
+inverse-frequency generation plus the llama3 wavelength-banded scaling and
+yarn-style scaling, selected by ``rope_scaling.rope_type`` via a registry.
+
+TPU-native delta: this is a pure function of the config producing a static
+fp32 ``inv_freq`` table (+ scalar attention scaling); cos/sin for the actual
+positions are computed inside the jitted step (ops/ref.py:rope_cos_sin), so
+there is no mutable module or dynamic re-init — long-context scaling is a
+config choice, not runtime state.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import numpy as np
+
+
+def _default_inv_freq(base: float, head_dim: int) -> np.ndarray:
+    return 1.0 / (
+        base ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim)
+    )
+
+
+def compute_inv_freq(config) -> Tuple[np.ndarray, float]:
+    """Returns (inv_freq fp32 [head_dim//2], attention_scaling scalar)."""
+    head_dim = config.head_dim
+    base = config.rope_theta
+    scaling = config.rope_scaling or {}
+    rope_type = scaling.get("rope_type", scaling.get("type", "default"))
+    fn = _ROPE_INIT.get(rope_type, _rope_default)
+    inv_freq, att_scale = fn(base, head_dim, scaling, config)
+    return inv_freq.astype(np.float32), float(att_scale)
+
+
+def _rope_default(base, head_dim, scaling, config):
+    return _default_inv_freq(base, head_dim), 1.0
+
+
+def _rope_linear(base, head_dim, scaling, config):
+    factor = scaling.get("factor", 1.0)
+    return _default_inv_freq(base, head_dim) / factor, 1.0
+
+
+def _rope_llama3(base, head_dim, scaling, config):
+    """Llama-3.x wavelength-banded NTK scaling (reference
+    RotaryEmbedding.py:91-111): low-frequency bands divided by ``factor``,
+    high-frequency bands untouched, smooth interpolation between."""
+    inv_freq = _default_inv_freq(base, head_dim)
+    factor = scaling.get("factor", 8.0)
+    low_factor = scaling.get("low_freq_factor", 1.0)
+    high_factor = scaling.get("high_freq_factor", 4.0)
+    old_ctx = scaling.get("original_max_position_embeddings", 8192)
+
+    low_wavelen = old_ctx / low_factor
+    high_wavelen = old_ctx / high_factor
+    wavelen = 2 * math.pi / inv_freq
+
+    scaled = inv_freq / factor
+    smooth = (old_ctx / wavelen - low_factor) / (high_factor - low_factor)
+    smoothed = (1 - smooth) * scaled + smooth * inv_freq
+    out = np.where(
+        wavelen > low_wavelen,
+        scaled,
+        np.where(wavelen < high_wavelen, inv_freq, smoothed),
+    )
+    return out, 1.0
+
+
+def _rope_yarn(base, head_dim, scaling, config):
+    """YaRN scaling (per-band interpolation + sqrt attention temperature)."""
+    inv_freq = _default_inv_freq(base, head_dim)
+    factor = scaling.get("factor", 1.0)
+    beta_fast = scaling.get("beta_fast", 32.0)
+    beta_slow = scaling.get("beta_slow", 1.0)
+    old_ctx = scaling.get(
+        "original_max_position_embeddings", config.max_position_embeddings
+    )
+    att_scale = scaling.get(
+        "attention_factor", 0.1 * math.log(factor) + 1.0 if factor > 1 else 1.0
+    )
+
+    def correction_dim(num_rot):
+        return (head_dim * math.log(old_ctx / (num_rot * 2 * math.pi))) / (
+            2 * math.log(base)
+        )
+
+    low = math.floor(correction_dim(beta_fast))
+    high = math.ceil(correction_dim(beta_slow))
+    low, high = max(low, 0), min(high, head_dim // 2 - 1)
+    if high == low:
+        high = low + 1e-3
+    d = np.arange(head_dim // 2, dtype=np.float64)
+    ramp = np.clip((d - low) / (high - low), 0.0, 1.0)
+    # ramp=0 -> interpolate (divide by factor); ramp=1 -> extrapolate (keep)
+    out = inv_freq / factor * (1 - ramp) + inv_freq * ramp
+    return out, att_scale
+
+
+_ROPE_INIT = {
+    "default": _rope_default,
+    "linear": _rope_linear,
+    "llama3": _rope_llama3,
+    "yarn": _rope_yarn,
+    "dynamic": _rope_default,  # dynamic NTK degenerates to default at build
+}

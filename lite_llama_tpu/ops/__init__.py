@@ -1,0 +1,93 @@
+"""Op dispatch layer.
+
+Every compute op has (a) a pure-XLA reference implementation (``ref.py``) and
+(b) where it pays off, a Pallas TPU kernel. This module picks per-op at call
+time based on the active backend and the ``LITE_LLAMA_TPU_BACKEND`` override
+(``xla`` | ``pallas`` | ``auto``). Tests pin ``xla`` vs ``pallas``
+(interpret mode) against each other.
+
+The reference's equivalent surface is lite_llama/kernels/__init__.py:1-13.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+
+from . import ref
+from .ref import (  # re-export pure ops that XLA already fuses optimally
+    apply_rope,
+    rope_cos_sin,
+    softmax_split,
+    gather_kv_pages,
+)
+
+_BACKEND = os.environ.get("LITE_LLAMA_TPU_BACKEND", "auto")
+
+
+def set_backend(name: str) -> None:
+    """Force 'xla' or 'pallas' (or 'auto') for all dispatched ops."""
+    global _BACKEND
+    assert name in ("xla", "pallas", "auto")
+    _BACKEND = name
+
+
+def _use_pallas() -> bool:
+    if _BACKEND == "xla":
+        return False
+    if _BACKEND == "pallas":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+# --- norm / mlp: XLA fuses these into surrounding matmuls; Pallas versions
+# exist for kernel-inventory parity and are validated in tests, but the model
+# path defaults to the XLA form unless benchmarks say otherwise.
+
+def rms_norm(x, weight, eps=1e-5):
+    if _use_pallas():
+        from . import norms
+
+        return norms.rms_norm(x, weight, eps)
+    return ref.rms_norm(x, weight, eps)
+
+
+def skip_rms_norm(x, residual, weight, eps=1e-5):
+    if _use_pallas():
+        from . import norms
+
+        return norms.skip_rms_norm(x, residual, weight, eps)
+    return ref.skip_rms_norm(x, residual, weight, eps)
+
+
+def swiglu(gate, up):
+    return ref.swiglu(gate, up)
+
+
+# --- attention: the hot ops, Pallas on TPU.
+
+def prefill_attention(q, k, v, seq_lens, sm_scale=None):
+    if _use_pallas():
+        from . import attention_prefill
+
+        return attention_prefill.flash_prefill(q, k, v, seq_lens, sm_scale)
+    return ref.prefill_attention(q, k, v, seq_lens, sm_scale)
+
+
+def paged_decode_attention(
+    q, k_pages, v_pages, layer, page_table, seq_lens,
+    max_seq_len=None, sm_scale=None,
+):
+    if _use_pallas():
+        from . import attention_decode
+
+        return attention_decode.paged_flash_decode(
+            q, k_pages, v_pages, layer, page_table, seq_lens,
+            max_seq_len, sm_scale,
+        )
+    return ref.paged_decode_attention(
+        q, k_pages, v_pages, layer, page_table, seq_lens,
+        max_seq_len, sm_scale,
+    )

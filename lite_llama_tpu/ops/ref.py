@@ -1,0 +1,211 @@
+"""Pure-JAX (XLA) reference implementations of every compute op.
+
+These define the numerical contract for the Pallas kernels (each Pallas kernel
+is tested against the function here) and double as a portable fallback path on
+CPU. Semantics mirror the reference's Triton kernel set
+(/root/reference/lite_llama/kernels/__init__.py:1-13), re-expressed
+functionally:
+
+- rms_norm / skip_rms_norm   <- skip_rmsnorm.py:118,147 (fused residual-add+norm)
+- swiglu                     <- swiglu.py:53 (silu(gate)*up, fp32 sigmoid)
+- apply_rope                 <- rope_emb.py:7 (rotate-half on q and k)
+- prefill_attention          <- flashattention2_nopad.py:40 (causal, GQA, ragged)
+- paged_decode_attention     <- flashdecoding.py:7,202 (split-KV decode through
+                                the token-indirection table; here: page table)
+- softmax_split              <- softmax_split.py:9-63 (large-vocab softmax)
+
+All softmax/normalization math is fp32 regardless of input dtype, matching the
+reference's in-kernel fp32 accumulation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Norms
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-5) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def skip_rms_norm(
+    x: jax.Array, residual: jax.Array | None, weight: jax.Array, eps: float = 1e-5
+):
+    """Fused residual-add + RMSNorm.
+
+    Returns ``(normed, new_residual)`` where ``new_residual = x + residual``;
+    models thread the residual through layers exactly like the reference
+    (llama.py:206-296). ``residual=None`` means plain RMSNorm of ``x``.
+    """
+    if residual is not None:
+        x = x + residual
+    return rms_norm(x, weight, eps), x
+
+
+# ---------------------------------------------------------------------------
+# MLP
+
+
+def swiglu(gate: jax.Array, up: jax.Array) -> jax.Array:
+    g = gate.astype(jnp.float32)
+    return (g * jax.nn.sigmoid(g) * up.astype(jnp.float32)).astype(gate.dtype)
+
+
+# ---------------------------------------------------------------------------
+# RoPE
+
+
+def rope_cos_sin(
+    positions: jax.Array, inv_freq: jax.Array, attention_scaling: float = 1.0
+):
+    """cos/sin tables for given integer positions.
+
+    positions: int32 [...]; inv_freq: fp32 [head_dim//2].
+    Returns fp32 (cos, sin) with shape positions.shape + [head_dim//2].
+    """
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq
+    return (
+        jnp.cos(freqs) * attention_scaling,
+        jnp.sin(freqs) * attention_scaling,
+    )
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotate-half RoPE. x: [..., heads, head_dim]; cos/sin: [..., head_dim//2]
+    (broadcast over the heads axis)."""
+    half = x.shape[-1] // 2
+    x1 = x[..., :half].astype(jnp.float32)
+    x2 = x[..., half:].astype(jnp.float32)
+    c = cos[..., None, :]
+    s = sin[..., None, :]
+    out = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Attention
+
+
+def _repeat_kv(x: jax.Array, groups: int, head_axis: int) -> jax.Array:
+    if groups == 1:
+        return x
+    return jnp.repeat(x, groups, axis=head_axis)
+
+
+def prefill_attention(
+    q: jax.Array,  # [B, S, Hq, D]
+    k: jax.Array,  # [B, S, Hkv, D]
+    v: jax.Array,  # [B, S, Hkv, D]
+    seq_lens: jax.Array,  # int32 [B] — actual lengths; positions >= len are pad
+    sm_scale: float | None = None,
+) -> jax.Array:
+    """Causal self-attention over a padded batch with per-request lengths.
+
+    The reference packs ragged requests into one row-axis ("nopad",
+    flashattention2_nopad.py:182-195); under XLA static shapes we instead pad
+    to the bucket length and mask — pad positions contribute nothing and their
+    outputs are garbage that the caller never reads.
+    """
+    B, S, Hq, D = q.shape
+    groups = Hq // k.shape[2]
+    if sm_scale is None:
+        sm_scale = 1.0 / (D**0.5)
+    k = _repeat_kv(k, groups, 2)
+    v = _repeat_kv(v, groups, 2)
+    logits = jnp.einsum(
+        "bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * sm_scale
+    pos = jnp.arange(S, dtype=jnp.int32)
+    causal = pos[:, None] >= pos[None, :]
+    valid = pos[None, :, None] < seq_lens[:, None, None]  # [B, S(t), 1]->mask k pos
+    mask = causal[None, None, :, :] & valid[:, None, :, :].transpose(0, 1, 3, 2)
+    logits = jnp.where(mask, logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhst,bthd->bshd", probs.astype(q.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.astype(q.dtype)
+
+
+def gather_kv_pages(
+    k_pages: jax.Array,  # [L, Hkv, P, page, D]
+    v_pages: jax.Array,
+    layer: jax.Array | int,
+    page_table: jax.Array,  # int32 [B, max_pages]
+    max_seq_len: int,
+):
+    """Gather one layer's K/V rows for each request out of the paged pool into
+    dense [B, Hkv, max_seq_len, D] views (XLA fallback for the decode kernel).
+
+    A single fused gather over the flattened (layer, head, page) axis — no
+    materialized per-layer slice of the pool.
+    """
+    L, Hkv, P, page_size, D = k_pages.shape
+    n = max_seq_len // page_size
+    pt = page_table[:, :n]  # [B, n]
+    h = jnp.arange(Hkv, dtype=jnp.int32)
+    # flat page id = (layer*Hkv + head)*P + page  -> [Hkv, B, n]
+    flat = (layer * Hkv + h)[:, None, None] * P + pt[None]
+    k = k_pages.reshape(L * Hkv * P, page_size, D)[flat]
+    v = v_pages.reshape(L * Hkv * P, page_size, D)[flat]
+    B = pt.shape[0]
+    k = k.transpose(1, 0, 2, 3, 4).reshape(B, Hkv, n * page_size, D)
+    v = v.transpose(1, 0, 2, 3, 4).reshape(B, Hkv, n * page_size, D)
+    return k, v
+
+
+def paged_decode_attention(
+    q: jax.Array,  # [B, Hq, D] — one new token per request
+    k_pages: jax.Array,  # [L, Hkv, P, page, D]
+    v_pages: jax.Array,
+    layer: jax.Array | int,
+    page_table: jax.Array,  # int32 [B, max_pages]
+    seq_lens: jax.Array,  # int32 [B] — lengths INCLUDING the new token
+    max_seq_len: int | None = None,
+    sm_scale: float | None = None,
+) -> jax.Array:
+    """Decode-step attention reading K/V through the page table.
+
+    Functional equivalent of the reference's two-stage split-KV flash decoding
+    (flashdecoding.py:7-263); the Pallas kernel version streams only the live
+    pages, this XLA version gathers then masks.
+    """
+    B, Hq, D = q.shape
+    Hkv = k_pages.shape[1]
+    page_size = k_pages.shape[3]
+    if max_seq_len is None:
+        max_seq_len = page_table.shape[1] * page_size
+    if sm_scale is None:
+        sm_scale = 1.0 / (D**0.5)
+    k, v = gather_kv_pages(k_pages, v_pages, layer, page_table, max_seq_len)
+    groups = Hq // Hkv
+    qg = q.reshape(B, Hkv, groups, D)
+    logits = jnp.einsum(
+        "bhgd,bhtd->bhgt", qg, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * sm_scale
+    t = jnp.arange(max_seq_len, dtype=jnp.int32)
+    mask = t[None, :] < seq_lens[:, None]  # [B, T]
+    logits = jnp.where(mask[:, None, None, :], logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhgt,bhtd->bhgd", probs.astype(q.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.reshape(B, Hq, D).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Softmax (sampling path)
+
+
+def softmax_split(logits: jax.Array) -> jax.Array:
+    """Numerically-stable softmax over the vocab axis in fp32
+    (reference softmax_split.py:63 — used on [batch, vocab] before top-p)."""
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
