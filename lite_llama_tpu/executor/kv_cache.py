@@ -2,7 +2,8 @@
 
 Capability parity with the reference's runtime memory subsystem:
 - ``KVCacheMemoryManager`` (/root/reference/lite_llama/executor/mem_manager.py:146)
-  — token-granular pool with a free-state vector and alloc/free/refcount.
+  — token-granular pool with a free-state vector and alloc/free/refcount, K and
+  V fused in one buffer (mem_manager.py:187-189).
 - ``ReqTokensManager`` (req_tokens_manager.py:7) — the per-request
   (request, position) -> pool-slot indirection table.
 
@@ -10,8 +11,10 @@ TPU-native redesign (deliberate, per SURVEY.md §7): the reference allocates
 token-granular slots (block_size=1) with ``torch.nonzero`` + host loops —
 data-dependent shapes that cannot live under ``jit``. Here:
 
-- Pages of ``page_size`` tokens (TPU-friendly: each page is a contiguous
-  [page_size, head_dim] tile, a clean DMA unit for the Pallas decode kernel).
+- Pages of ``page_size`` tokens. Pool layout ``[L, P, 2, Hkv, ps, D]`` keeps
+  K and V for *all* kv heads of a page in one contiguous tile, so the decode
+  kernel streams a whole page (256KB for Llama-3B at ps=64) in a single DMA —
+  DMA size, not allocation granularity, is what TPU HBM bandwidth cares about.
 - A free-page *stack* + scalar stack-top instead of a refcount scan: popping N
   pages is a gather at ``free_top - 1 - rank`` — fixed shapes, fully traceable.
 - Allocation ranks come from a cumsum over the per-request need mask, replacing
@@ -24,7 +27,6 @@ data-dependent shapes that cannot live under ``jit``. Here:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -40,15 +42,14 @@ class PagedKVCache:
     """Paged KV pool + request table + allocator state.
 
     Shapes (L=layers, Hkv=kv heads, P=num pages, ps=page size, D=head dim):
-      k_pages, v_pages : [L, Hkv, P, ps, D]
-      page_table       : int32 [max_reqs, pages_per_req]
-      seq_lens         : int32 [max_reqs] (tokens currently stored per slot)
-      free_stack       : int32 [P] (free page ids; top ``free_top`` are free)
-      free_top         : int32 scalar
+      kv_pages   : [L, P, 2, Hkv, ps, D]   (axis 2: 0=K, 1=V)
+      page_table : int32 [max_reqs, pages_per_req]
+      seq_lens   : int32 [max_reqs] (tokens currently stored per slot)
+      free_stack : int32 [P] (free page ids; top ``free_top`` are free)
+      free_top   : int32 scalar
     """
 
-    k_pages: jax.Array
-    v_pages: jax.Array
+    kv_pages: jax.Array
     page_table: jax.Array
     seq_lens: jax.Array
     free_stack: jax.Array
@@ -57,11 +58,11 @@ class PagedKVCache:
     # -- static helpers ---------------------------------------------------
     @property
     def page_size(self) -> int:
-        return self.k_pages.shape[3]
+        return self.kv_pages.shape[4]
 
     @property
     def num_pages(self) -> int:
-        return self.k_pages.shape[2]
+        return self.kv_pages.shape[1]
 
     @property
     def pages_per_req(self) -> int:
@@ -83,14 +84,11 @@ def create_kv_cache(
     dtype=jnp.bfloat16,
 ) -> PagedKVCache:
     pages_per_req = cdiv(max_seq_len, page_size)
-    shape = (num_layers, num_kv_heads, num_pages, page_size, head_dim)
+    shape = (num_layers, num_pages, 2, num_kv_heads, page_size, head_dim)
     return PagedKVCache(
-        k_pages=jnp.zeros(shape, dtype),
-        v_pages=jnp.zeros(shape, dtype),
+        kv_pages=jnp.zeros(shape, dtype),
         page_table=jnp.zeros((max_reqs, pages_per_req), jnp.int32),
         seq_lens=jnp.zeros((max_reqs,), jnp.int32),
-        # Stack is stored so that the first pop returns page P-1, but any
-        # order works; pages are interchangeable.
         free_stack=jnp.arange(num_pages, dtype=jnp.int32),
         free_top=jnp.asarray(num_pages, jnp.int32),
     )
@@ -108,7 +106,7 @@ def kv_cache_bytes(
 
 
 def _pop_pages(cache: PagedKVCache, need: jax.Array):
-    """Pop pages for a flat boolean/int ``need`` mask.
+    """Pop pages for a flat boolean ``need`` mask.
 
     Returns (page_ids, new_free_top): page_ids[i] is a fresh page where
     need[i], else an arbitrary (unpopped) id the caller must mask out.
@@ -138,8 +136,7 @@ def alloc_prefill(
         need.reshape(B, ppr), page_ids, jnp.zeros((), jnp.int32)
     )
     return PagedKVCache(
-        k_pages=cache.k_pages,
-        v_pages=cache.v_pages,
+        kv_pages=cache.kv_pages,
         page_table=cache.page_table.at[req_ids].set(rows),
         seq_lens=cache.seq_lens.at[req_ids].set(lens),
         free_stack=cache.free_stack,
@@ -147,22 +144,27 @@ def alloc_prefill(
     )
 
 
-def alloc_decode(cache: PagedKVCache, req_ids: jax.Array) -> PagedKVCache:
-    """Make room for one more token in each request slot: pop a page for the
-    slots whose current length lands exactly on a page boundary, bump lengths
-    (replaces decode_alloc_kv_cache, model_executor.py:346-361 — but allocates
-    *before* the forward instead of the reference's 1-step-lagged protocol)."""
+def alloc_decode(
+    cache: PagedKVCache, req_ids: jax.Array, active: jax.Array | None = None
+) -> PagedKVCache:
+    """Make room for one more token in each *active* request slot: pop a page
+    for the slots whose current length lands exactly on a page boundary, bump
+    lengths (replaces decode_alloc_kv_cache, model_executor.py:346-361 — but
+    allocates *before* the forward instead of the reference's 1-step-lagged
+    protocol). Inactive slots (finished requests) are untouched."""
     old_len = cache.seq_lens[req_ids]  # [B]
     need = (old_len % cache.page_size) == 0
+    if active is not None:
+        need = need & active
     page_ids, new_top = _pop_pages(cache, need)
     slot = old_len // cache.page_size
     cur = cache.page_table[req_ids, slot]
     rows = jnp.where(need, page_ids, cur)
+    new_len = old_len + 1 if active is None else old_len + active.astype(jnp.int32)
     return PagedKVCache(
-        k_pages=cache.k_pages,
-        v_pages=cache.v_pages,
+        kv_pages=cache.kv_pages,
         page_table=cache.page_table.at[req_ids, slot].set(rows),
-        seq_lens=cache.seq_lens.at[req_ids].set(old_len + 1),
+        seq_lens=cache.seq_lens.at[req_ids].set(new_len),
         free_stack=cache.free_stack,
         free_top=new_top,
     )
@@ -184,8 +186,7 @@ def free_requests(cache: PagedKVCache, req_ids: jax.Array) -> PagedKVCache:
     dst = jnp.where(mask, cache.free_top + rank, cache.num_pages)  # OOB -> drop
     new_stack = cache.free_stack.at[dst].set(pages, mode="drop")
     return PagedKVCache(
-        k_pages=cache.k_pages,
-        v_pages=cache.v_pages,
+        kv_pages=cache.kv_pages,
         page_table=cache.page_table.at[req_ids].set(
             jnp.zeros((B, ppr), jnp.int32)
         ),
@@ -200,58 +201,46 @@ def free_requests(cache: PagedKVCache, req_ids: jax.Array) -> PagedKVCache:
 
 
 def kv_write_prefill(
-    k_pages: jax.Array,  # [L, Hkv, P, ps, D]
-    v_pages: jax.Array,
+    kv_pages: jax.Array,  # [L, P, 2, Hkv, ps, D]
     layer: jax.Array | int,
     k_new: jax.Array,  # [B, S, Hkv, D]
     v_new: jax.Array,
     table_rows: jax.Array,  # int32 [B, pages_per_req] (gathered for the batch)
     start_pos: jax.Array,  # int32 [B] (0 for fresh prefill; >0 = chunked)
     lens: jax.Array,  # int32 [B] — valid token count in this chunk
-):
+) -> jax.Array:
     """Scatter a prefill chunk's K/V into the paged pool
     (replaces update_kv_buffer, kernels/update_kv_buffer.py:8).
 
     Pad positions (s >= lens[b]) are routed out-of-bounds and dropped.
     """
     B, S = k_new.shape[0], k_new.shape[1]
-    ps = k_pages.shape[3]
+    ps = kv_pages.shape[4]
     s = jnp.arange(S, dtype=jnp.int32)
     pos = start_pos[:, None] + s[None, :]  # [B, S]
     page_slot = pos // ps
     off = pos % ps
     page = jnp.take_along_axis(table_rows, page_slot, axis=1)  # [B, S]
     valid = s[None, :] < lens[:, None]
-    page = jnp.where(valid, page, k_pages.shape[2])  # OOB page -> dropped
-    k_pages = k_pages.at[layer, :, page, off].set(
-        k_new.astype(k_pages.dtype), mode="drop"
-    )
-    v_pages = v_pages.at[layer, :, page, off].set(
-        v_new.astype(v_pages.dtype), mode="drop"
-    )
-    return k_pages, v_pages
+    page = jnp.where(valid, page, kv_pages.shape[1])  # OOB page -> dropped
+    val = jnp.stack([k_new, v_new], axis=2).astype(kv_pages.dtype)  # [B,S,2,Hkv,D]
+    return kv_pages.at[layer, page, :, :, off, :].set(val, mode="drop")
 
 
 def kv_write_decode(
-    k_pages: jax.Array,
-    v_pages: jax.Array,
+    kv_pages: jax.Array,  # [L, P, 2, Hkv, ps, D]
     layer: jax.Array | int,
     k_new: jax.Array,  # [B, Hkv, D]
     v_new: jax.Array,
     table_rows: jax.Array,  # int32 [B, pages_per_req]
     pos: jax.Array,  # int32 [B] — position to write (seq_len - 1 after alloc)
     active: jax.Array | None = None,  # bool [B] — inactive rows are dropped
-):
+) -> jax.Array:
     """Scatter one decode token per request into the pool."""
-    ps = k_pages.shape[3]
+    ps = kv_pages.shape[4]
     page = jnp.take_along_axis(table_rows, (pos // ps)[:, None], axis=1)[:, 0]
     off = pos % ps
     if active is not None:
-        page = jnp.where(active, page, k_pages.shape[2])  # OOB -> dropped
-    k_pages = k_pages.at[layer, :, page, off].set(
-        k_new.astype(k_pages.dtype), mode="drop"
-    )
-    v_pages = v_pages.at[layer, :, page, off].set(
-        v_new.astype(v_pages.dtype), mode="drop"
-    )
-    return k_pages, v_pages
+        page = jnp.where(active, page, kv_pages.shape[1])  # OOB -> dropped
+    val = jnp.stack([k_new, v_new], axis=1).astype(kv_pages.dtype)  # [B,2,Hkv,D]
+    return kv_pages.at[layer, page, :, :, off, :].set(val, mode="drop")

@@ -13,9 +13,11 @@ forward serves all three:
 TPU-native design (not a translation):
 - Weights are a pytree of stacked per-layer arrays [L, ...]; layers run under
   ``lax.scan`` so the HLO is O(1) in depth and XLA pipelines weight prefetch.
-- QKV is a single fused [H, (Hq+2*Hkv)*D] matmul (the reference fuses only
-  K+V, llama.py:58-62; fusing Q too is strictly better for the MXU), and
-  gate+up is a single fused [H, 2*I] matmul.
+- Projections keep an explicit *head axis* (wq [L,H,Nq,D], wkv [L,H,2,Nkv,D],
+  gate_up [L,H,2,I]) so tensor-parallel sharding is head-aligned with no
+  resharding (parallel/shardings.py). The reference fuses K+V on a flat axis
+  (llama.py:58-62); here Q/K/V and gate/up stay single einsums but
+  shard-clean.
 - Prefill and decode are two separate traced functions (no `seq_len>1`
   branching at runtime — the reference dispatches in Python per call,
   llama.py:210-217; under jit that must be two specializations).
@@ -32,7 +34,10 @@ import jax.numpy as jnp
 
 from .. import ops
 from ..executor.kv_cache import kv_write_decode, kv_write_prefill
+from ..parallel.shardings import ShardingPolicy
 from .rotary import compute_inv_freq
+
+_NOSHARD = ShardingPolicy(mesh=None)
 
 
 class AttnContext(NamedTuple):
@@ -54,7 +59,7 @@ def init_decoder_params(cfg, key, scale: float = 0.02) -> dict:
     L = cfg.num_hidden_layers
     H = cfg.hidden_size
     D = cfg.head_dim
-    Hq, Hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    Nq, Nkv = cfg.num_attention_heads, cfg.num_key_value_heads
     I = cfg.intermediate_size
     V = cfg.vocab_size
     dt = cfg.dtype
@@ -65,24 +70,26 @@ def init_decoder_params(cfg, key, scale: float = 0.02) -> dict:
 
     layers = {
         "attn_norm": jnp.ones((L, H), dt),
-        "qkv_proj": init(ks[0], (L, H, (Hq + 2 * Hkv) * D)),
-        "o_proj": init(ks[1], (L, Hq * D, H)),
+        "wq": init(ks[0], (L, H, Nq, D)),
+        "wkv": init(ks[1], (L, H, 2, Nkv, D)),
+        "o_proj": init(ks[2], (L, Nq, D, H)),
         "mlp_norm": jnp.ones((L, H), dt),
-        "gate_up_proj": init(ks[2], (L, H, 2 * I)),
-        "down_proj": init(ks[3], (L, I, H)),
+        "gate_up_proj": init(ks[3], (L, H, 2, I)),
+        "down_proj": init(ks[4], (L, I, H)),
     }
     if cfg.attention_bias:
-        layers["qkv_bias"] = jnp.zeros((L, (Hq + 2 * Hkv) * D), dt)
+        layers["q_bias"] = jnp.zeros((L, Nq, D), dt)
+        layers["kv_bias"] = jnp.zeros((L, 2, Nkv, D), dt)
     if getattr(cfg, "qk_norm", False):
         layers["q_norm"] = jnp.ones((L, D), dt)
         layers["k_norm"] = jnp.ones((L, D), dt)
     params = {
-        "embed": init(ks[4], (V, H)),
+        "embed": init(ks[5], (V, H)),
         "layers": layers,
         "final_norm": jnp.ones((H,), dt),
     }
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = init(ks[5], (H, V))
+        params["lm_head"] = init(ks[6], (H, V))
     return params
 
 
@@ -90,34 +97,31 @@ def init_decoder_params(cfg, key, scale: float = 0.02) -> dict:
 # Shared layer math
 
 
-def _qkv_split(cfg, qkv, batch_dims):
-    D = cfg.head_dim
-    Hq, Hkv = cfg.num_attention_heads, cfg.num_key_value_heads
-    q, k, v = jnp.split(qkv, [Hq * D, (Hq + Hkv) * D], axis=-1)
-    q = q.reshape(*batch_dims, Hq, D)
-    k = k.reshape(*batch_dims, Hkv, D)
-    v = v.reshape(*batch_dims, Hkv, D)
-    return q, k, v
-
-
-def _maybe_qk_norm(cfg, lp, q, k):
+def _project_qkv(cfg, lp, x, shard):
+    """x [..., H] -> q [..., Nq, D], k/v [..., Nkv, D] (head axes explicit)."""
+    q = jnp.einsum("...h,hnd->...nd", x, lp["wq"])
+    kv = jnp.einsum("...h,hcnd->...cnd", x, lp["wkv"])
+    if "q_bias" in lp:
+        q = q + lp["q_bias"]
+        kv = kv + lp["kv_bias"]
+    k = kv[..., 0, :, :]
+    v = kv[..., 1, :, :]
+    q, k, v = shard.heads(q), shard.heads(k), shard.heads(v)
     if "q_norm" in lp:
         q = ops.rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
         k = ops.rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
-    return q, k
+    return q, k, v
 
 
-def _mlp(cfg, lp, x):
-    gate_up = x @ lp["gate_up_proj"]
-    gate, up = jnp.split(gate_up, 2, axis=-1)
-    return ops.swiglu(gate, up) @ lp["down_proj"]
+def _mlp(cfg, lp, x, shard):
+    gu = jnp.einsum("...h,hci->...ci", x, lp["gate_up_proj"])
+    gu = shard.ffn(gu)
+    out = ops.swiglu(gu[..., 0, :], gu[..., 1, :])
+    return shard.hidden(jnp.einsum("...i,ih->...h", out, lp["down_proj"]))
 
 
 def _unembed(params, cfg, normed):
-    if "lm_head" in params:
-        w = params["lm_head"]
-    else:
-        w = params["embed"].T
+    w = params["lm_head"] if "lm_head" in params else params["embed"].T
     return jnp.dot(normed, w, preferred_element_type=jnp.float32)
 
 
@@ -133,14 +137,14 @@ def _rope_tables(cfg, positions):
 def decoder_prefill(
     params: dict,
     cfg,
-    k_pages: jax.Array,
-    v_pages: jax.Array,
+    kv_pages: jax.Array,
     ctx: AttnContext,
     input_ids: Optional[jax.Array] = None,  # int32 [B, S]
     inputs_embeds: Optional[jax.Array] = None,  # [B, S, H] (LLaVA path)
     positions: Optional[jax.Array] = None,  # int32 [B, S]
+    shard: ShardingPolicy = _NOSHARD,
 ):
-    """Returns (logits [B, S, V] fp32, k_pages, v_pages)."""
+    """Returns (logits [B, S, V] fp32, kv_pages)."""
     if inputs_embeds is None:
         h = params["embed"][input_ids]
     else:
@@ -152,37 +156,35 @@ def decoder_prefill(
     sm_scale = 1.0 / (cfg.head_dim**0.5)
 
     def layer_fn(carry, xs):
-        x, residual, k_pages, v_pages = carry
+        x, residual, kv_pages = carry
         lp, li = xs
         normed, residual = ops.skip_rms_norm(
             x, residual, lp["attn_norm"], cfg.rms_norm_eps
         )
-        qkv = normed @ lp["qkv_proj"]
-        if "qkv_bias" in lp:
-            qkv = qkv + lp["qkv_bias"]
-        q, k, v = _qkv_split(cfg, qkv, (B, S))
-        q, k = _maybe_qk_norm(cfg, lp, q, k)
+        q, k, v = _project_qkv(cfg, lp, normed, shard)
         q = ops.apply_rope(q, cos, sin)
         k = ops.apply_rope(k, cos, sin)
-        k_pages, v_pages = kv_write_prefill(
-            k_pages, v_pages, li, k, v, ctx.table_rows, ctx.start_pos,
+        kv_pages = kv_write_prefill(
+            kv_pages, li, k, v, ctx.table_rows, ctx.start_pos,
             ctx.chunk_lens,
         )
         attn = ops.prefill_attention(q, k, v, ctx.chunk_lens, sm_scale)
-        attn_out = attn.reshape(B, S, -1) @ lp["o_proj"]
+        attn_out = shard.hidden(
+            jnp.einsum("bsnd,ndh->bsh", attn, lp["o_proj"])
+        )
         normed2, residual = ops.skip_rms_norm(
             attn_out, residual, lp["mlp_norm"], cfg.rms_norm_eps
         )
-        mlp_out = _mlp(cfg, lp, normed2)
-        return (mlp_out, residual, k_pages, v_pages), None
+        mlp_out = _mlp(cfg, lp, normed2, shard)
+        return (mlp_out, residual, kv_pages), None
 
     L = cfg.num_hidden_layers
-    init = (h, jnp.zeros_like(h), k_pages, v_pages)
+    init = (h, jnp.zeros_like(h), kv_pages)
     xs = (params["layers"], jnp.arange(L, dtype=jnp.int32))
-    (x, residual, k_pages, v_pages), _ = jax.lax.scan(layer_fn, init, xs)
+    (x, residual, kv_pages), _ = jax.lax.scan(layer_fn, init, xs)
     normed, _ = ops.skip_rms_norm(x, residual, params["final_norm"], cfg.rms_norm_eps)
     logits = _unembed(params, cfg, normed)
-    return logits, k_pages, v_pages
+    return logits, kv_pages
 
 
 # ---------------------------------------------------------------------------
@@ -192,12 +194,12 @@ def decoder_prefill(
 def decoder_decode(
     params: dict,
     cfg,
-    k_pages: jax.Array,
-    v_pages: jax.Array,
+    kv_pages: jax.Array,
     ctx: AttnContext,
     input_ids: jax.Array,  # int32 [B]
+    shard: ShardingPolicy = _NOSHARD,
 ):
-    """Returns (logits [B, V] fp32, k_pages, v_pages).
+    """Returns (logits [B, V] fp32, kv_pages).
 
     ``ctx.start_pos`` is the position being written (seq_len - 1 after
     allocation); ``ctx.seq_lens`` includes the new token.
@@ -206,40 +208,38 @@ def decoder_decode(
     B, H = h.shape
     cos, sin = _rope_tables(cfg, ctx.start_pos)  # [B, D/2]
     sm_scale = 1.0 / (cfg.head_dim**0.5)
-    max_seq = ctx.table_rows.shape[1] * k_pages.shape[3]
+    max_seq = ctx.table_rows.shape[1] * kv_pages.shape[4]
 
     def layer_fn(carry, xs):
-        x, residual, k_pages, v_pages = carry
+        x, residual, kv_pages = carry
         lp, li = xs
         normed, residual = ops.skip_rms_norm(
             x, residual, lp["attn_norm"], cfg.rms_norm_eps
         )
-        qkv = normed @ lp["qkv_proj"]
-        if "qkv_bias" in lp:
-            qkv = qkv + lp["qkv_bias"]
-        q, k, v = _qkv_split(cfg, qkv, (B,))
-        q, k = _maybe_qk_norm(cfg, lp, q, k)
+        q, k, v = _project_qkv(cfg, lp, normed, shard)
         q = ops.apply_rope(q, cos, sin)
         k = ops.apply_rope(k, cos, sin)
-        k_pages, v_pages = kv_write_decode(
-            k_pages, v_pages, li, k, v, ctx.table_rows, ctx.start_pos,
+        kv_pages = kv_write_decode(
+            kv_pages, li, k, v, ctx.table_rows, ctx.start_pos,
             ctx.active,
         )
         attn = ops.paged_decode_attention(
-            q, k_pages, v_pages, li, ctx.table_rows, ctx.seq_lens,
+            q, kv_pages, li, ctx.table_rows, ctx.seq_lens,
             max_seq, sm_scale,
         )
-        attn_out = attn.reshape(B, -1) @ lp["o_proj"]
+        attn_out = shard.hidden(
+            jnp.einsum("bnd,ndh->bh", attn, lp["o_proj"])
+        )
         normed2, residual = ops.skip_rms_norm(
             attn_out, residual, lp["mlp_norm"], cfg.rms_norm_eps
         )
-        mlp_out = _mlp(cfg, lp, normed2)
-        return (mlp_out, residual, k_pages, v_pages), None
+        mlp_out = _mlp(cfg, lp, normed2, shard)
+        return (mlp_out, residual, kv_pages), None
 
     L = cfg.num_hidden_layers
-    init = (h, jnp.zeros_like(h), k_pages, v_pages)
+    init = (h, jnp.zeros_like(h), kv_pages)
     xs = (params["layers"], jnp.arange(L, dtype=jnp.int32))
-    (x, residual, k_pages, v_pages), _ = jax.lax.scan(layer_fn, init, xs)
+    (x, residual, kv_pages), _ = jax.lax.scan(layer_fn, init, xs)
     normed, _ = ops.skip_rms_norm(x, residual, params["final_norm"], cfg.rms_norm_eps)
     logits = _unembed(params, cfg, normed)
-    return logits, k_pages, v_pages
+    return logits, kv_pages

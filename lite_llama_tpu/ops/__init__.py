@@ -77,17 +77,17 @@ def prefill_attention(q, k, v, seq_lens, sm_scale=None):
 
 
 def paged_decode_attention(
-    q, k_pages, v_pages, layer, page_table, seq_lens,
+    q, kv_pages, layer, page_table, seq_lens,
     max_seq_len=None, sm_scale=None,
 ):
     if _use_pallas():
         from . import attention_decode
 
         return attention_decode.paged_flash_decode(
-            q, k_pages, v_pages, layer, page_table, seq_lens,
+            q, kv_pages, layer, page_table, seq_lens,
             max_seq_len, sm_scale,
         )
     return ref.paged_decode_attention(
-        q, k_pages, v_pages, layer, page_table, seq_lens,
+        q, kv_pages, layer, page_table, seq_lens,
         max_seq_len, sm_scale,
     )

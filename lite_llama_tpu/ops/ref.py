@@ -135,8 +135,7 @@ def prefill_attention(
 
 
 def gather_kv_pages(
-    k_pages: jax.Array,  # [L, Hkv, P, page, D]
-    v_pages: jax.Array,
+    kv_pages: jax.Array,  # [L, P, 2, Hkv, page, D]
     layer: jax.Array | int,
     page_table: jax.Array,  # int32 [B, max_pages]
     max_seq_len: int,
@@ -144,27 +143,24 @@ def gather_kv_pages(
     """Gather one layer's K/V rows for each request out of the paged pool into
     dense [B, Hkv, max_seq_len, D] views (XLA fallback for the decode kernel).
 
-    A single fused gather over the flattened (layer, head, page) axis — no
+    A single fused gather over the flattened (layer, page) axis — no
     materialized per-layer slice of the pool.
     """
-    L, Hkv, P, page_size, D = k_pages.shape
+    L, P, _, Hkv, page_size, D = kv_pages.shape
     n = max_seq_len // page_size
     pt = page_table[:, :n]  # [B, n]
-    h = jnp.arange(Hkv, dtype=jnp.int32)
-    # flat page id = (layer*Hkv + head)*P + page  -> [Hkv, B, n]
-    flat = (layer * Hkv + h)[:, None, None] * P + pt[None]
-    k = k_pages.reshape(L * Hkv * P, page_size, D)[flat]
-    v = v_pages.reshape(L * Hkv * P, page_size, D)[flat]
+    flat = layer * P + pt  # [B, n]
+    kv = kv_pages.reshape(L * P, 2, Hkv, page_size, D)[flat]  # [B,n,2,Hkv,ps,D]
     B = pt.shape[0]
-    k = k.transpose(1, 0, 2, 3, 4).reshape(B, Hkv, n * page_size, D)
-    v = v.transpose(1, 0, 2, 3, 4).reshape(B, Hkv, n * page_size, D)
-    return k, v
+    kv = kv.transpose(2, 0, 3, 1, 4, 5).reshape(
+        2, B, Hkv, n * page_size, D
+    )
+    return kv[0], kv[1]
 
 
 def paged_decode_attention(
     q: jax.Array,  # [B, Hq, D] — one new token per request
-    k_pages: jax.Array,  # [L, Hkv, P, page, D]
-    v_pages: jax.Array,
+    kv_pages: jax.Array,  # [L, P, 2, Hkv, page, D]
     layer: jax.Array | int,
     page_table: jax.Array,  # int32 [B, max_pages]
     seq_lens: jax.Array,  # int32 [B] — lengths INCLUDING the new token
@@ -178,13 +174,13 @@ def paged_decode_attention(
     pages, this XLA version gathers then masks.
     """
     B, Hq, D = q.shape
-    Hkv = k_pages.shape[1]
-    page_size = k_pages.shape[3]
+    Hkv = kv_pages.shape[3]
+    page_size = kv_pages.shape[4]
     if max_seq_len is None:
         max_seq_len = page_table.shape[1] * page_size
     if sm_scale is None:
         sm_scale = 1.0 / (D**0.5)
-    k, v = gather_kv_pages(k_pages, v_pages, layer, page_table, max_seq_len)
+    k, v = gather_kv_pages(kv_pages, layer, page_table, max_seq_len)
     groups = Hq // Hkv
     qg = q.reshape(B, Hkv, groups, D)
     logits = jnp.einsum(

@@ -27,15 +27,18 @@ import jax.numpy as jnp
 import numpy as np
 
 # ---------------------------------------------------------------------------
-# Key layout of the engine parameter tree (flattened with '/'):
+# Key layout of the engine parameter tree (flattened with '/'), with explicit
+# head axes so tensor-parallel sharding is head-aligned (parallel/shardings.py):
 #   embed                         [V, H]
 #   layers/attn_norm              [L, H]
-#   layers/qkv_proj               [L, H, (Hq+2*Hkv)*D]
-#   layers/qkv_bias               [L, (Hq+2*Hkv)*D]        (qwen2)
+#   layers/wq                     [L, H, Nq, D]
+#   layers/wkv                    [L, H, 2, Nkv, D]        (axis2: 0=K, 1=V)
+#   layers/q_bias                 [L, Nq, D]               (qwen2)
+#   layers/kv_bias                [L, 2, Nkv, D]           (qwen2)
 #   layers/q_norm, layers/k_norm  [L, D]                   (qwen3)
-#   layers/o_proj                 [L, Hq*D, H]
+#   layers/o_proj                 [L, Nq, D, H]
 #   layers/mlp_norm               [L, H]
-#   layers/gate_up_proj           [L, H, 2*I]
+#   layers/gate_up_proj           [L, H, 2, I]             (axis2: 0=gate, 1=up)
 #   layers/down_proj              [L, I, H]
 #   final_norm                    [H]
 #   lm_head                       [H, V]                   (untied only)
@@ -59,6 +62,7 @@ def convert_hf_state_dict(
     L = cfg.num_hidden_layers
     H = cfg.hidden_size
     D = cfg.head_dim
+    Nq, Nkv = cfg.num_attention_heads, cfg.num_key_value_heads
 
     def stack(fn: Callable[[int], np.ndarray]) -> np.ndarray:
         return np.stack([fn(i) for i in range(L)])
@@ -66,32 +70,44 @@ def convert_hf_state_dict(
     def lw(i: int, name: str) -> np.ndarray:
         return _get(sd, f"{prefix}layers.{i}.{name}")
 
-    def qkv(i: int) -> np.ndarray:
-        q = lw(i, "self_attn.q_proj.weight")
-        k = lw(i, "self_attn.k_proj.weight")
-        v = lw(i, "self_attn.v_proj.weight")
-        return np.concatenate([q, k, v], axis=0).T  # [H, (Hq+2Hkv)*D]
+    def wq(i: int) -> np.ndarray:
+        # HF q_proj.weight is [Nq*D, H], head-major rows -> [H, Nq, D]
+        return lw(i, "self_attn.q_proj.weight").T.reshape(H, Nq, D)
+
+    def wkv(i: int) -> np.ndarray:
+        k = lw(i, "self_attn.k_proj.weight").T.reshape(H, Nkv, D)
+        v = lw(i, "self_attn.v_proj.weight").T.reshape(H, Nkv, D)
+        return np.stack([k, v], axis=1)  # [H, 2, Nkv, D]
 
     layers = {
         "attn_norm": stack(lambda i: lw(i, "input_layernorm.weight")),
-        "qkv_proj": stack(qkv),
-        "o_proj": stack(lambda i: lw(i, "self_attn.o_proj.weight").T),
+        "wq": stack(wq),
+        "wkv": stack(wkv),
+        # HF o_proj.weight is [H, Nq*D] -> [Nq, D, H]
+        "o_proj": stack(
+            lambda i: lw(i, "self_attn.o_proj.weight").T.reshape(Nq, D, H)
+        ),
         "mlp_norm": stack(lambda i: lw(i, "post_attention_layernorm.weight")),
         "gate_up_proj": stack(
-            lambda i: np.concatenate(
-                [lw(i, "mlp.gate_proj.weight"), lw(i, "mlp.up_proj.weight")],
-                axis=0,
-            ).T
+            lambda i: np.stack(
+                [
+                    lw(i, "mlp.gate_proj.weight").T,
+                    lw(i, "mlp.up_proj.weight").T,
+                ],
+                axis=1,
+            )  # [H, 2, I]
         ),
         "down_proj": stack(lambda i: lw(i, "mlp.down_proj.weight").T),
     }
     if cfg.attention_bias:
-        layers["qkv_bias"] = stack(
-            lambda i: np.concatenate(
+        layers["q_bias"] = stack(
+            lambda i: lw(i, "self_attn.q_proj.bias").reshape(Nq, D)
+        )
+        layers["kv_bias"] = stack(
+            lambda i: np.stack(
                 [
-                    lw(i, "self_attn.q_proj.bias"),
-                    lw(i, "self_attn.k_proj.bias"),
-                    lw(i, "self_attn.v_proj.bias"),
+                    lw(i, "self_attn.k_proj.bias").reshape(Nkv, D),
+                    lw(i, "self_attn.v_proj.bias").reshape(Nkv, D),
                 ]
             )
         )

@@ -54,9 +54,7 @@ def run_prefill_full(cfg, params, ids, lens):
         start_pos=jnp.zeros((B,), jnp.int32),
         chunk_lens=lens,
     )
-    logits, _, _ = decoder_prefill(
-        params, cfg, cache.k_pages, cache.v_pages, ctx, input_ids=ids
-    )
+    logits, _ = decoder_prefill(params, cfg, cache.kv_pages, ctx, input_ids=ids)
     return logits
 
 
@@ -100,11 +98,8 @@ def test_prefill_then_decode_matches_full_prefill(cfg_cls, kwargs):
         start_pos=jnp.zeros((B,), jnp.int32),
         chunk_lens=lens_prompt,
     )
-    logits_p, kp, vp = decoder_prefill(
-        params, cfg, cache.k_pages, cache.v_pages, ctx, input_ids=ids
-    )
-    cache = jax.tree_util.tree_map(lambda x: x, cache)
-    cache.k_pages, cache.v_pages = kp, vp
+    logits_p, kv = decoder_prefill(params, cfg, cache.kv_pages, ctx, input_ids=ids)
+    cache.kv_pages = kv
 
     # Prefill logits at each valid position match the full run.
     for b, lp in enumerate([S_prompt, S_prompt - 1]):
@@ -128,10 +123,10 @@ def test_prefill_then_decode_matches_full_prefill(cfg_cls, kwargs):
             chunk_lens=jnp.ones((B,), jnp.int32),
             active=active,
         )
-        logits_d, kp, vp = decoder_decode(
-            params, cfg, cache.k_pages, cache.v_pages, ctx, input_ids=tok
+        logits_d, kv = decoder_decode(
+            params, cfg, cache.kv_pages, ctx, input_ids=tok
         )
-        cache.k_pages, cache.v_pages = kp, vp
+        cache.kv_pages = kv
         for b in range(B):
             p = int(pos[b])
             if bool(active[b]):

@@ -94,14 +94,13 @@ def test_prefill_and_decode_match_hf(model_type, tie):
     cache = alloc_prefill(cache, req, lens)
     ctx = AttnContext(cache.page_table[req], lens,
                       jnp.zeros((B,), jnp.int32), lens)
-    logits, kp, vp = decoder_prefill(
-        params, cfg, cache.k_pages, cache.v_pages, ctx,
-        input_ids=jnp.asarray(ids),
+    logits, kv = decoder_prefill(
+        params, cfg, cache.kv_pages, ctx, input_ids=jnp.asarray(ids)
     )
     np.testing.assert_allclose(
         np.asarray(logits), hf_logits, rtol=1e-3, atol=2e-4
     )
-    cache.k_pages, cache.v_pages = kp, vp
+    cache.kv_pages = kv
 
     # --- decode parity: feed 3 more tokens one at a time
     more = rng.integers(0, cfg.vocab_size, size=(B, 3))
@@ -113,11 +112,11 @@ def test_prefill_and_decode_match_hf(model_type, tie):
         pos = cache.seq_lens[req] - 1
         ctx = AttnContext(cache.page_table[req], cache.seq_lens[req], pos,
                           jnp.ones((B,), jnp.int32), jnp.ones((B,), bool))
-        logits_d, kp, vp = decoder_decode(
-            params, cfg, cache.k_pages, cache.v_pages, ctx,
+        logits_d, kv = decoder_decode(
+            params, cfg, cache.kv_pages, ctx,
             input_ids=jnp.asarray(full[:, S + t]),
         )
-        cache.k_pages, cache.v_pages = kp, vp
+        cache.kv_pages = kv
         np.testing.assert_allclose(
             np.asarray(logits_d), hf_full[:, S + t], rtol=1e-3, atol=2e-4,
             err_msg=f"decode step {t}",
@@ -149,9 +148,8 @@ def test_llama3_rope_scaling_matches_hf():
     cache = alloc_prefill(cache, req, lens)
     ctx = AttnContext(cache.page_table[req], lens,
                       jnp.zeros((B,), jnp.int32), lens)
-    logits, _, _ = decoder_prefill(
-        params, cfg, cache.k_pages, cache.v_pages, ctx,
-        input_ids=jnp.asarray(ids),
+    logits, _ = decoder_prefill(
+        params, cfg, cache.kv_pages, ctx, input_ids=jnp.asarray(ids)
     )
     np.testing.assert_allclose(np.asarray(logits), hf_logits, rtol=1e-3, atol=2e-4)
 

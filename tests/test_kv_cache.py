@@ -103,8 +103,8 @@ def test_kv_write_prefill_then_read_back():
     k_new = jnp.arange(B * S * Hkv * D, dtype=jnp.float32).reshape(B, S, Hkv, D)
     v_new = -k_new
     table_rows = cache.page_table[req_ids]
-    kp, vp = kv_write_prefill(
-        cache.k_pages, cache.v_pages, 1, k_new, v_new, table_rows,
+    kv = kv_write_prefill(
+        cache.kv_pages, 1, k_new, v_new, table_rows,
         jnp.zeros((B,), jnp.int32), lens,
     )
     # Read back token (b=1, s=3) from the pool through the table.
@@ -112,16 +112,16 @@ def test_kv_write_prefill_then_read_back():
     page = int(table_rows[1, pos // 4])
     off = pos % 4
     np.testing.assert_allclose(
-        np.asarray(kp[1, :, page, off, :]), np.asarray(k_new[1, 3])
+        np.asarray(kv[1, page, 0, :, off, :]), np.asarray(k_new[1, 3])
     )
     np.testing.assert_allclose(
-        np.asarray(vp[1, :, page, off, :]), np.asarray(v_new[1, 3])
+        np.asarray(kv[1, page, 1, :, off, :]), np.asarray(v_new[1, 3])
     )
     # Layer 0 untouched.
-    assert float(jnp.sum(jnp.abs(kp[0]))) == 0.0
-    # Pad position (b=1, s=5) dropped: page 0 of the pool only holds what the
-    # table routed to it.
-    assert float(jnp.sum(jnp.abs(kp[1, :, :, :, :]))) == pytest.approx(
+    assert float(jnp.sum(jnp.abs(kv[0]))) == 0.0
+    # Pad position (b=1, s=5) dropped: the layer-1 K half holds exactly the
+    # valid tokens of both requests.
+    assert float(jnp.sum(jnp.abs(kv[1, :, 0]))) == pytest.approx(
         float(jnp.sum(jnp.abs(k_new[0, :6]))) + float(jnp.sum(jnp.abs(k_new[1, :5])))
     )
 
@@ -136,13 +136,14 @@ def test_kv_write_decode_and_inactive_drop():
     table_rows = cache.page_table[req_ids]
     pos = cache.seq_lens[req_ids] - 1
     active = jnp.array([True, False])
-    kp, vp = kv_write_decode(
-        cache.k_pages, cache.v_pages, 0, k_new, k_new, table_rows, pos, active
+    kv = kv_write_decode(
+        cache.kv_pages, 0, k_new, k_new, table_rows, pos, active
     )
     page0 = int(table_rows[0, 1])
-    np.testing.assert_allclose(np.asarray(kp[0, :, page0, 0, :]), 7.0)
-    # Inactive request wrote nothing anywhere.
-    assert float(jnp.sum(jnp.abs(kp))) == pytest.approx(7.0 * Hkv * D)
+    np.testing.assert_allclose(np.asarray(kv[0, page0, 0, :, 0, :]), 7.0)
+    # Inactive request wrote nothing anywhere (K and V halves both written
+    # for the active one).
+    assert float(jnp.sum(jnp.abs(kv))) == pytest.approx(2 * 7.0 * Hkv * D)
 
 
 def test_alloc_is_jittable():
