@@ -42,28 +42,14 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-# --- norm / mlp: XLA fuses these into surrounding matmuls; Pallas versions
-# exist for kernel-inventory parity and are validated in tests, but the model
-# path defaults to the XLA form unless benchmarks say otherwise.
+# --- norm / mlp: ALWAYS the XLA form in the model path — on TPU, XLA fuses
+# these elementwise chains into the surrounding matmuls, so a pallas_call here
+# would add materialization boundaries. Standalone fused Pallas versions live
+# in ops/norms.py (kernel-inventory parity, tested against these).
 
-def rms_norm(x, weight, eps=1e-5):
-    if _use_pallas():
-        from . import norms
-
-        return norms.rms_norm(x, weight, eps)
-    return ref.rms_norm(x, weight, eps)
-
-
-def skip_rms_norm(x, residual, weight, eps=1e-5):
-    if _use_pallas():
-        from . import norms
-
-        return norms.skip_rms_norm(x, residual, weight, eps)
-    return ref.skip_rms_norm(x, residual, weight, eps)
-
-
-def swiglu(gate, up):
-    return ref.swiglu(gate, up)
+rms_norm = ref.rms_norm
+skip_rms_norm = ref.skip_rms_norm
+swiglu = ref.swiglu
 
 
 # --- attention: the hot ops, Pallas on TPU.

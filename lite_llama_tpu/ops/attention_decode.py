@@ -7,30 +7,41 @@ flash decoding (/root/reference/lite_llama/kernels/flashdecoding.py:7-299,
 gather-through-indirection at :84-89), re-designed for TPU bandwidth:
 
 - Pool layout [L, P, 2, Hkv, ps, D]: one page = K+V for *all* kv heads in one
-  contiguous tile, so each page is a single large DMA (256KB for Llama-3B at
-  ps=64) — DMA size is what HBM bandwidth cares about on TPU, and the decode
-  step is bandwidth-bound.
-- Grid is (B,): one program per request walks exactly ceil(seq_len/ps) live
-  pages with a 4-deep async-DMA prefetch pipeline (the TPU analogue of the
-  reference's split-KV grid axis — no gathered K/V is ever materialized; the
-  XLA fallback in ref.py materializes).
-- All kv heads are processed together per page via head-batched dots
-  ([Hkv, G, D] x [Hkv, ps, D]); GQA groups ride the sublane dim.
-- Online softmax (running max / sum / accumulator, fp32) — the reference's
-  stage-1 partials + stage-2 LSE reduce collapsed into one pass; the
-  (m, l, acc) form stays ring/context-parallel combinable (SURVEY.md §5).
+  contiguous tile, so each page is two large contiguous DMAs (K half + V
+  half) — DMA size, not allocation granularity, is what HBM bandwidth cares
+  about on TPU, and the decode step is bandwidth-bound.
+- Grid is (B,): one program per request walks its live pages, UNROLL pages
+  per loop iteration with a double-buffered (2 x UNROLL deep) async-DMA
+  pipeline. Tail DMAs clamp to the last live page (real data, masked out) so
+  no uninitialized VMEM ever reaches the MXU.
+- GQA-on-MXU trick: instead of Hkv small per-head dots ([G, D] x [D, ps],
+  G ~ 1..8 rows — wasting the MXU's 128-row dim), ALL query heads form the
+  M axis ([Nq, D]) and ALL heads' keys form the N axis ([D, UNROLL*Hkv*ps]).
+  Cross-head scores are junk — but those FLOPs ride MXU rows that would idle
+  anyway, and a precomputed block-identity mask sets them to -inf so the
+  softmax + P@V (zeros kill cross-head V terms) stay exact. Net: 2 matmul
+  issues per iteration instead of 2*Hkv*UNROLL.
+- Online softmax in base-2 (exp2 with log2(e)-folded scale — the reference's
+  Triton trick, flashattention2_nopad.py:134) with fp32 running max / sum /
+  accumulator. The (m, l, acc) form stays ring/context-parallel combinable
+  (SURVEY.md §5).
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-N_BUF = 4  # DMA prefetch depth
+N_BUF = 2  # buffer slots (double buffering), each holding UNROLL pages
+DEFAULT_UNROLL = 4  # pages fetched + processed per loop iteration
+LOG2E = math.log2(math.e)
+NEG_INF = float(-1e30)  # large-negative instead of -inf: exp2 flushes to 0
+# and (unlike -inf) can never produce NaN via inf-inf in the m update.
 
 
 def _decode_kernel(
@@ -44,77 +55,95 @@ def _decode_kernel(
     # outputs
     out_ref,  # [1, Nq, D] VMEM
     # scratch
-    kv_buf,  # [N_BUF, 2, Hkv, ps, D] VMEM
-    sems,  # DMA sems [N_BUF]
+    kv_buf,  # [N_BUF, 2, UNROLL, Hkv, ps, D] VMEM (page-major, K/V halves)
+    sems,  # DMA sems [N_BUF, UNROLL]
     *,
     sm_scale: float,
     page_size: int,
     num_kv_heads: int,
+    UNROLL: int,
 ):
     b = pl.program_id(0)
     layer = layer_ref[0]
     seq_len = seq_lens_ref[b]
     num_pages = pl.cdiv(seq_len, page_size)
+    n_iters = pl.cdiv(num_pages, UNROLL)
 
     Nq, D = q_ref.shape[1], q_ref.shape[2]
     Hkv = num_kv_heads
     G = Nq // Hkv
     ps = page_size
-    q = q_ref[0].astype(jnp.float32) * sm_scale  # [Nq, D]
-    qg = q.reshape(Hkv, G, D)
+    Wp = UNROLL * Hkv * ps  # score columns per iteration
+    q = q_ref[0].astype(jnp.float32) * (sm_scale * LOG2E)  # [Nq, D]
 
-    def dma(i, slot):
-        page_id = page_table_ref[b, i]
-        return pltpu.make_async_copy(
-            kv_pages_ref.at[layer, page_id], kv_buf.at[slot], sems.at[slot]
-        )
+    # Column decomposition: col = f*(Hkv*ps) + h2*ps + j.
+    col = jax.lax.broadcasted_iota(jnp.int32, (Nq, Wp), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (Nq, Wp), 0)
+    col_h = (col % (Hkv * ps)) // ps
+    head_ok = col_h == (row // G)  # block-identity mask (loop-invariant)
+    pos_base = (col // (Hkv * ps)) * ps + (col % ps)  # in-window position
 
-    # Prologue: fill the pipeline.
-    for j in range(N_BUF - 1):
-        @pl.when(j < num_pages)
-        def _():
-            dma(j, j).start()
+    def start_iter_dma(it, slot):
+        """Fetch pages [it*UNROLL, ...) (clamped) into the slot, page-major.
 
-    def body(i, carry):
+        One page = two contiguous chunks (K half, V half) of Hkv*ps*D each."""
+        base = it * UNROLL
+        for f in range(UNROLL):
+            page_idx = jnp.minimum(base + f, num_pages - 1)
+            page_id = page_table_ref[b, page_idx]
+            pltpu.make_async_copy(
+                kv_pages_ref.at[layer, page_id],
+                kv_buf.at[slot, :, f],
+                sems.at[slot, f],
+            ).start()
+
+    start_iter_dma(0, 0)
+
+    def body(it, carry):
         m, l, acc = carry
-        slot = jax.lax.rem(i, N_BUF)
+        slot = jax.lax.rem(it, N_BUF)
 
-        # Issue the DMA N_BUF-1 ahead; its slot is the one consumed at i-1.
-        @pl.when(i + N_BUF - 1 < num_pages)
+        @pl.when(it + 1 < n_iters)
         def _():
-            dma(i + N_BUF - 1, jax.lax.rem(i + N_BUF - 1, N_BUF)).start()
+            start_iter_dma(it + 1, jax.lax.rem(it + 1, N_BUF))
 
-        dma(i, slot).wait()
-        k = kv_buf[slot, 0]  # [Hkv, ps, D]
-        v = kv_buf[slot, 1]
+        for f in range(UNROLL):
+            pltpu.make_async_copy(
+                kv_pages_ref.at[layer, 0],
+                kv_buf.at[slot, :, f],
+                sems.at[slot, f],
+            ).wait()
 
+        k = kv_buf[slot, 0].reshape(Wp, D)  # [UNROLL*Hkv*ps, D]
+        v = kv_buf[slot, 1].reshape(Wp, D)
         s = jax.lax.dot_general(
-            qg, k, (((2,), (2,)), ((0,), (0,))),
+            q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [Hkv, G, ps]
-        pos = i * ps + jax.lax.broadcasted_iota(jnp.int32, (Hkv, G, ps), 2)
-        s = jnp.where(pos < seq_len, s, -jnp.inf)
+        )  # [Nq, Wp] — cross-head blocks are junk, masked next
+        valid = head_ok & (it * (UNROLL * ps) + pos_base < seq_len)
+        s = jnp.where(valid, s, NEG_INF)
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=2, keepdims=True))
-        p = jnp.exp(s - m_new)  # [Hkv, G, ps]
-        corr = jnp.exp(m - m_new)
-        l_new = l * corr + jnp.sum(p, axis=2, keepdims=True)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))  # [Nq, 1]
+        p = jnp.exp2(s - m_new)  # [Nq, Wp]; junk/pad cols -> 0
+        corr = jnp.exp2(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
         pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [Hkv, G, D]
+        )  # [Nq, D] — zero weights kill cross-head V terms
         return m_new, l_new, acc * corr + pv
 
-    m0 = jnp.full((Hkv, G, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((Hkv, G, 1), jnp.float32)
-    acc0 = jnp.zeros((Hkv, G, D), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num_pages, body, (m0, l0, acc0))
+    m0 = jnp.full((Nq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((Nq, 1), jnp.float32)
+    acc0 = jnp.zeros((Nq, D), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_iters, body, (m0, l0, acc0))
     out = acc / jnp.maximum(l, 1e-30)
-    out_ref[0] = out.reshape(Nq, D).astype(out_ref.dtype)
+    out_ref[0] = out.astype(out_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_seq_len", "sm_scale", "interpret")
+    jax.jit,
+    static_argnames=("max_seq_len", "sm_scale", "interpret", "unroll"),
 )
 def paged_flash_decode(
     q: jax.Array,  # [B, Nq, D]
@@ -125,6 +154,7 @@ def paged_flash_decode(
     max_seq_len: int | None = None,
     sm_scale: float | None = None,
     interpret: bool = False,
+    unroll: int = DEFAULT_UNROLL,
 ) -> jax.Array:
     B, Nq, D = q.shape
     L, P, _, Hkv, ps, _ = kv_pages.shape
@@ -146,8 +176,8 @@ def paged_flash_decode(
             (1, Nq, D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((N_BUF, 2, Hkv, ps, D), kv_pages.dtype),
-            pltpu.SemaphoreType.DMA((N_BUF,)),
+            pltpu.VMEM((N_BUF, 2, unroll, Hkv, ps, D), kv_pages.dtype),
+            pltpu.SemaphoreType.DMA((N_BUF, unroll)),
         ],
     )
     kernel = functools.partial(
@@ -155,6 +185,7 @@ def paged_flash_decode(
         sm_scale=float(sm_scale),
         page_size=ps,
         num_kv_heads=Hkv,
+        UNROLL=unroll,
     )
     return pl.pallas_call(
         kernel,
