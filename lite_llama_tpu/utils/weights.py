@@ -131,6 +131,85 @@ def convert_hf_state_dict(
 
 
 # ---------------------------------------------------------------------------
+# LLaVA (CLIP tower + projector + Llama LM)
+
+
+def convert_hf_llava_state_dict(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """Convert an HF LlavaForConditionalGeneration state dict to the engine
+    tree {"lm", "vision", "projector"} (models/llava.py layout).
+
+    Handles both key styles: legacy ``language_model.model.*`` /
+    ``vision_tower.*`` and current ``model.language_model.*`` /
+    ``model.vision_tower.*``.
+    """
+    norm: dict = {}
+    for k, v in sd.items():
+        k2 = k
+        if k2.startswith("model."):
+            k2 = k2[len("model."):]
+        k2 = k2.replace("language_model.model.", "language_model.")
+        if k2 == "language_model.lm_head.weight":
+            k2 = "lm_head.weight"
+        norm[k2] = v
+
+    lm = convert_hf_state_dict(norm, cfg, prefix="language_model.")
+
+    vcfg = cfg.vision_config
+    Hv = vcfg.hidden_size
+    Lv = vcfg.num_hidden_layers
+    vp = "vision_tower.vision_model."
+
+    def g(key):
+        return _get(norm, vp + key)
+
+    def vstack(fmt, post=lambda x: x):
+        return np.stack(
+            [post(_get(norm, vp + fmt.format(i))) for i in range(Lv)]
+        )
+
+    vision = {
+        "patch_embed": g("embeddings.patch_embedding.weight")
+        .reshape(Hv, -1)
+        .T,  # [C*p*p, Hv]
+        "class_embed": g("embeddings.class_embedding"),
+        "pos_embed": g("embeddings.position_embedding.weight"),
+        "pre_ln_scale": g("pre_layrnorm.weight"),
+        "pre_ln_bias": g("pre_layrnorm.bias"),
+        "layers": {
+            "ln1_scale": vstack("encoder.layers.{}.layer_norm1.weight"),
+            "ln1_bias": vstack("encoder.layers.{}.layer_norm1.bias"),
+            "wq": vstack("encoder.layers.{}.self_attn.q_proj.weight", lambda x: x.T),
+            "wk": vstack("encoder.layers.{}.self_attn.k_proj.weight", lambda x: x.T),
+            "wv": vstack("encoder.layers.{}.self_attn.v_proj.weight", lambda x: x.T),
+            "wo": vstack("encoder.layers.{}.self_attn.out_proj.weight", lambda x: x.T),
+            "bq": vstack("encoder.layers.{}.self_attn.q_proj.bias"),
+            "bk": vstack("encoder.layers.{}.self_attn.k_proj.bias"),
+            "bv": vstack("encoder.layers.{}.self_attn.v_proj.bias"),
+            "bo": vstack("encoder.layers.{}.self_attn.out_proj.bias"),
+            "ln2_scale": vstack("encoder.layers.{}.layer_norm2.weight"),
+            "ln2_bias": vstack("encoder.layers.{}.layer_norm2.bias"),
+            "fc1_w": vstack("encoder.layers.{}.mlp.fc1.weight", lambda x: x.T),
+            "fc1_b": vstack("encoder.layers.{}.mlp.fc1.bias"),
+            "fc2_w": vstack("encoder.layers.{}.mlp.fc2.weight", lambda x: x.T),
+            "fc2_b": vstack("encoder.layers.{}.mlp.fc2.bias"),
+        },
+    }
+    projector = {
+        "w1": _get(norm, "multi_modal_projector.linear_1.weight").T,
+        "b1": _get(norm, "multi_modal_projector.linear_1.bias"),
+        "w2": _get(norm, "multi_modal_projector.linear_2.weight").T,
+        "b2": _get(norm, "multi_modal_projector.linear_2.bias"),
+    }
+
+    import jax
+
+    vision, projector = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, dtype=cfg.dtype), (vision, projector)
+    )
+    return {"lm": lm, "vision": vision, "projector": projector}
+
+
+# ---------------------------------------------------------------------------
 # Safetensors checkpoint loading (sharded HF dirs)
 
 
