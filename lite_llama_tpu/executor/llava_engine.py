@@ -1,0 +1,112 @@
+"""LLaVA multimodal engine.
+
+Extends InferenceEngine with an image-aware prefill: the jitted multimodal
+prefill step runs CLIP tower -> projector -> image-token merge -> LM prefill
+as ONE TPU program (the reference runs the tower in eager torch and merges on
+the fly, llava.py:120-141; its executor over-allocates KV for the expanded
+patches at model_executor.py:309-316 — here the host computes exact expanded
+lengths first).
+
+Decode steps are plain LM decode on params["lm"].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..generation.sampling import sample
+from ..models.decoder import AttnContext, decoder_decode
+from ..models.llava import expand_image_tokens_host, llava_prefill
+from .engine import InferenceEngine, next_pow2
+from .kv_cache import alloc_prefill
+
+
+def _fwd_prefill_text(params, cfg, kv_pages, ctx, input_ids=None, shard=None):
+    return llava_prefill(params, cfg, kv_pages, ctx, input_ids, shard=shard)
+
+
+def _fwd_decode(params, cfg, kv_pages, ctx, input_ids=None, shard=None):
+    return decoder_decode(params["lm"], cfg, kv_pages, ctx, input_ids, shard=shard)
+
+
+class LlavaEngine(InferenceEngine):
+    def __init__(self, config, params, **kw):
+        kw.setdefault("forward_prefill", _fwd_prefill_text)
+        kw.setdefault("forward_decode", _fwd_decode)
+        super().__init__(config, params, **kw)
+        self._mm_prefill_jit = jax.jit(
+            self._mm_prefill_step, donate_argnums=(1,)
+        )
+
+    # -- jitted multimodal prefill -----------------------------------------
+    def _mm_prefill_step(
+        self, params, cache, ids, raw_lens, exp_lens, req_ids, pixel_values,
+        has_image, key, sampling,
+    ):
+        cfg = self.config
+        cache = alloc_prefill(cache, req_ids, exp_lens)
+        ctx = AttnContext(
+            table_rows=cache.page_table[req_ids],
+            seq_lens=exp_lens,
+            start_pos=jnp.zeros_like(exp_lens),
+            chunk_lens=exp_lens,
+        )
+        logits, kv = llava_prefill(
+            params, cfg, cache.kv_pages, ctx,
+            input_ids=ids, pixel_values=pixel_values,
+            has_image=has_image, raw_lens=raw_lens, shard=self.shard,
+        )
+        cache = dataclasses.replace(cache, kv_pages=kv)
+        B = ids.shape[0]
+        last = logits[jnp.arange(B), exp_lens - 1]
+        tok = sample(last, key, sampling)
+        return cache, tok, last
+
+    # -- host API -----------------------------------------------------------
+    def expanded_lens(self, token_lists: Sequence[Sequence[int]]) -> List[int]:
+        return expand_image_tokens_host(
+            token_lists, self.config.image_token_index,
+            self.config.num_image_patches,
+        )
+
+    def prefill_multimodal(
+        self,
+        token_lists: Sequence[Sequence[int]],  # raw (1 <image> placeholder)
+        pixel_values: Optional[np.ndarray],  # [B, 3, S, S] or None
+        sampling,
+        slots,
+    ):
+        B = len(token_lists)
+        raw_lens = np.asarray([len(t) for t in token_lists], np.int32)
+        exp_lens = np.asarray(self.expanded_lens(token_lists), np.int32)
+        S = next_pow2(int(exp_lens.max()))
+        ids = np.full((B, S), self.pad_id, np.int32)
+        for i, t in enumerate(token_lists):
+            ids[i, : len(t)] = t
+        if pixel_values is None:
+            vc = self.config.vision_config
+            pixel_values = np.zeros(
+                (B, vc.num_channels, vc.image_size, vc.image_size), np.float32
+            )
+            has_image = np.zeros((B,), bool)
+        else:
+            has_image = exp_lens != raw_lens
+        self.cache, tok, last = self._mm_prefill_jit(
+            self.params,
+            self.cache,
+            jnp.asarray(ids),
+            jnp.asarray(raw_lens),
+            jnp.asarray(exp_lens),
+            jnp.asarray(slots, jnp.int32),
+            jnp.asarray(pixel_values),
+            jnp.asarray(has_image),
+            self._next_key(),
+            sampling,
+        )
+        self.stats.prefill_tokens += int(exp_lens.sum())
+        return np.asarray(tok), exp_lens, last
