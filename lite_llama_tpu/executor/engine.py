@@ -68,6 +68,7 @@ class InferenceEngine:
         num_pages: Optional[int] = None,
         hbm_util: float = 0.9,
         decode_chunk: int = 32,
+        kv_quant: bool = False,
         forward_prefill=None,
         forward_decode=None,
         mesh=None,
@@ -87,6 +88,7 @@ class InferenceEngine:
         if num_pages is None:
             num_pages = self._auto_num_pages(hbm_util)
         self.num_pages = num_pages
+        self.kv_quant = kv_quant
         self.cache = self.shard.shard_cache(
             create_kv_cache(
                 config.num_hidden_layers,
@@ -97,6 +99,7 @@ class InferenceEngine:
                 max_reqs=max_reqs,
                 max_seq_len=config.max_seq_len,
                 dtype=config.dtype,
+                quantized=kv_quant,
             )
         )
         self._key = jax.random.PRNGKey(seed)

@@ -27,6 +27,7 @@ data-dependent shapes that cannot live under ``jit``. Here:
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,18 +39,55 @@ def cdiv(a, b):
 
 @jax.tree_util.register_dataclass
 @dataclass
+class KVPool:
+    """The paged K/V storage: pages [L, P, 2, Hkv, ps, D] plus, when the
+    cache is INT8-quantized (beyond-reference capability), per-token-per-head
+    scales [L, P, 2, Hkv, ps] fp32. Dequant is k = pages * scale[..., None]."""
+
+    pages: jax.Array
+    scales: Optional[jax.Array] = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.scales is not None
+
+    @property
+    def shape(self):
+        return self.pages.shape
+
+    @property
+    def page_size(self) -> int:
+        return self.pages.shape[4]
+
+    @property
+    def num_pages(self) -> int:
+        return self.pages.shape[1]
+
+
+def _quantize_kv(x: jax.Array):
+    """Symmetric int8 per-(token, head) quantization over the D axis."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
+
+
+@jax.tree_util.register_dataclass
+@dataclass
 class PagedKVCache:
     """Paged KV pool + request table + allocator state.
 
     Shapes (L=layers, Hkv=kv heads, P=num pages, ps=page size, D=head dim):
-      kv_pages   : [L, P, 2, Hkv, ps, D]   (axis 2: 0=K, 1=V)
+      kv_pages   : KVPool(pages [L, P, 2, Hkv, ps, D], scales or None)
       page_table : int32 [max_reqs, pages_per_req]
       seq_lens   : int32 [max_reqs] (tokens currently stored per slot)
       free_stack : int32 [P] (free page ids; top ``free_top`` are free)
       free_top   : int32 scalar
     """
 
-    kv_pages: jax.Array
+    kv_pages: KVPool
     page_table: jax.Array
     seq_lens: jax.Array
     free_stack: jax.Array
@@ -58,11 +96,11 @@ class PagedKVCache:
     # -- static helpers ---------------------------------------------------
     @property
     def page_size(self) -> int:
-        return self.kv_pages.shape[4]
+        return self.kv_pages.page_size
 
     @property
     def num_pages(self) -> int:
-        return self.kv_pages.shape[1]
+        return self.kv_pages.num_pages
 
     @property
     def pages_per_req(self) -> int:
@@ -82,11 +120,19 @@ def create_kv_cache(
     max_reqs: int = 64,
     max_seq_len: int = 2048,
     dtype=jnp.bfloat16,
+    quantized: bool = False,
 ) -> PagedKVCache:
     pages_per_req = cdiv(max_seq_len, page_size)
     shape = (num_layers, num_pages, 2, num_kv_heads, page_size, head_dim)
+    if quantized:
+        pool = KVPool(
+            pages=jnp.zeros(shape, jnp.int8),
+            scales=jnp.zeros(shape[:-1], jnp.float32),
+        )
+    else:
+        pool = KVPool(pages=jnp.zeros(shape, dtype), scales=None)
     return PagedKVCache(
-        kv_pages=jnp.zeros(shape, dtype),
+        kv_pages=pool,
         page_table=jnp.zeros((max_reqs, pages_per_req), jnp.int32),
         seq_lens=jnp.zeros((max_reqs,), jnp.int32),
         free_stack=jnp.arange(num_pages, dtype=jnp.int32),
@@ -201,46 +247,103 @@ def free_requests(cache: PagedKVCache, req_ids: jax.Array) -> PagedKVCache:
 
 
 def kv_write_prefill(
-    kv_pages: jax.Array,  # [L, P, 2, Hkv, ps, D]
+    kv: KVPool,
     layer: jax.Array | int,
     k_new: jax.Array,  # [B, S, Hkv, D]
     v_new: jax.Array,
     table_rows: jax.Array,  # int32 [B, pages_per_req] (gathered for the batch)
     start_pos: jax.Array,  # int32 [B] (0 for fresh prefill; >0 = chunked)
     lens: jax.Array,  # int32 [B] — valid token count in this chunk
-) -> jax.Array:
+) -> KVPool:
     """Scatter a prefill chunk's K/V into the paged pool
     (replaces update_kv_buffer, kernels/update_kv_buffer.py:8).
 
     Pad positions (s >= lens[b]) are routed out-of-bounds and dropped.
+    INT8 caches quantize per (token, head) on the way in.
     """
     B, S = k_new.shape[0], k_new.shape[1]
-    ps = kv_pages.shape[4]
+    ps = kv.page_size
     s = jnp.arange(S, dtype=jnp.int32)
     pos = start_pos[:, None] + s[None, :]  # [B, S]
     page_slot = pos // ps
     off = pos % ps
     page = jnp.take_along_axis(table_rows, page_slot, axis=1)  # [B, S]
     valid = s[None, :] < lens[:, None]
-    page = jnp.where(valid, page, kv_pages.shape[1])  # OOB page -> dropped
-    val = jnp.stack([k_new, v_new], axis=2).astype(kv_pages.dtype)  # [B,S,2,Hkv,D]
-    return kv_pages.at[layer, page, :, :, off, :].set(val, mode="drop")
+    page = jnp.where(valid, page, kv.num_pages)  # OOB page -> dropped
+    val = jnp.stack([k_new, v_new], axis=2)  # [B, S, 2, Hkv, D]
+    if kv.quantized:
+        q, sc = _quantize_kv(val)
+        return KVPool(
+            pages=kv.pages.at[layer, page, :, :, off, :].set(q, mode="drop"),
+            scales=kv.scales.at[layer, page, :, :, off].set(sc, mode="drop"),
+        )
+    return KVPool(
+        pages=kv.pages.at[layer, page, :, :, off, :].set(
+            val.astype(kv.pages.dtype), mode="drop"
+        ),
+        scales=None,
+    )
 
 
 def kv_write_decode(
-    kv_pages: jax.Array,  # [L, P, 2, Hkv, ps, D]
+    kv: KVPool,
     layer: jax.Array | int,
     k_new: jax.Array,  # [B, Hkv, D]
     v_new: jax.Array,
     table_rows: jax.Array,  # int32 [B, pages_per_req]
     pos: jax.Array,  # int32 [B] — position to write (seq_len - 1 after alloc)
     active: jax.Array | None = None,  # bool [B] — inactive rows are dropped
-) -> jax.Array:
+) -> KVPool:
     """Scatter one decode token per request into the pool."""
-    ps = kv_pages.shape[4]
+    ps = kv.page_size
     page = jnp.take_along_axis(table_rows, (pos // ps)[:, None], axis=1)[:, 0]
     off = pos % ps
     if active is not None:
-        page = jnp.where(active, page, kv_pages.shape[1])  # OOB -> dropped
-    val = jnp.stack([k_new, v_new], axis=1).astype(kv_pages.dtype)  # [B,2,Hkv,D]
-    return kv_pages.at[layer, page, :, :, off, :].set(val, mode="drop")
+        page = jnp.where(active, page, kv.num_pages)  # OOB -> dropped
+    val = jnp.stack([k_new, v_new], axis=1)  # [B, 2, Hkv, D]
+    if kv.quantized:
+        q, sc = _quantize_kv(val)
+        return KVPool(
+            pages=kv.pages.at[layer, page, :, :, off, :].set(q, mode="drop"),
+            scales=kv.scales.at[layer, page, :, :, off].set(sc, mode="drop"),
+        )
+    return KVPool(
+        pages=kv.pages.at[layer, page, :, :, off, :].set(
+            val.astype(kv.pages.dtype), mode="drop"
+        ),
+        scales=None,
+    )
+
+
+def kv_write_decode_all(
+    kv: KVPool,
+    k_all: jax.Array,  # [L, B, Hkv, D] — one new token per request, per layer
+    v_all: jax.Array,
+    table_rows: jax.Array,  # int32 [B, pages_per_req]
+    pos: jax.Array,  # int32 [B]
+    active: jax.Array | None = None,
+) -> KVPool:
+    """Deferred decode write: scatter ALL layers' new K/V in ONE update after
+    the layer scan. Keeping the pool read-only inside the scan lets XLA alias
+    the carried pool buffer instead of ping-pong-copying it per layer
+    (measured: 288ms -> ~20ms per 3B decode step). The attention kernel sees
+    the newest token as a "virtual page" (ops.paged_decode_attention k_new)."""
+    ps = kv.page_size
+    page = jnp.take_along_axis(table_rows, (pos // ps)[:, None], axis=1)[:, 0]
+    off = pos % ps
+    if active is not None:
+        page = jnp.where(active, page, kv.num_pages)  # OOB -> dropped
+    # [L, B, 2, Hkv, D] -> [B, L, 2, Hkv, D] (advanced-index result layout)
+    val = jnp.stack([k_all, v_all], axis=2).transpose(1, 0, 2, 3, 4)
+    if kv.quantized:
+        q, sc = _quantize_kv(val)
+        return KVPool(
+            pages=kv.pages.at[:, page, :, :, off, :].set(q, mode="drop"),
+            scales=kv.scales.at[:, page, :, :, off].set(sc, mode="drop"),
+        )
+    return KVPool(
+        pages=kv.pages.at[:, page, :, :, off, :].set(
+            val.astype(kv.pages.dtype), mode="drop"
+        ),
+        scales=None,
+    )

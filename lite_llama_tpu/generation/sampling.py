@@ -35,9 +35,13 @@ class SamplingParams(NamedTuple):
         )
 
 
+NUCLEUS_K = 64  # candidate pool for top-p/top-k sampling (see sample())
+
+
 def top_p_mask(logits: jax.Array, top_p: jax.Array) -> jax.Array:
     """Mask (with -inf) tokens outside the top-p nucleus. logits [B, V] fp32,
-    top_p [B]."""
+    top_p [B]. Exact (full sort) — used by tests and small-vocab callers; the
+    hot path goes through sample()'s approx_max_k form."""
     sorted_logits = jnp.flip(jnp.sort(logits, axis=-1), axis=-1)
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     csum = jnp.cumsum(probs, axis=-1)
@@ -62,15 +66,39 @@ def sample(
     logits: jax.Array,  # [B, V] fp32
     key: jax.Array,
     params: SamplingParams,
+    nucleus_k: int = NUCLEUS_K,
 ) -> jax.Array:
-    """Sample next tokens [B] int32. Greedy where temperature <= 0."""
+    """Sample next tokens [B] int32. Greedy where temperature <= 0.
+
+    A full [B, V] sort costs tens of ms on TPU at 128k vocab (measured 32ms
+    for B=12) — two orders of magnitude more than a decode layer. Instead the
+    candidate set is the top ``nucleus_k`` logits from the TPU-native
+    ``approx_max_k`` (one O(V) pass), and exact top-k/top-p filtering + the
+    categorical draw happen in the [B, nucleus_k] subset. Nucleus truncation
+    beyond rank-64 tokens is a negligible distribution change for real
+    temperatures (p(rank>64) ~ tail mass past top-p anyway); user top_k
+    clamps to nucleus_k.
+    """
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     temp = jnp.maximum(params.temperature, 1e-6)[:, None]
-    scaled = logits / temp
-    scaled = top_k_mask(scaled, params.top_k)
-    scaled = top_p_mask(scaled, params.top_p)
-    sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
-    return jnp.where(params.temperature <= 0.0, greedy_tok, sampled)
+    vals, idxs = jax.lax.approx_max_k(
+        logits / temp, nucleus_k, recall_target=0.99, aggregate_to_topk=True
+    )  # [B, k] descending
+    j = jnp.arange(nucleus_k, dtype=jnp.int32)[None, :]
+    # top-k within the candidate set (0 = disabled)
+    k = jnp.where(params.top_k > 0, jnp.minimum(params.top_k, nucleus_k),
+                  nucleus_k)
+    keep = j < k[:, None]
+    # top-p within the candidate set
+    probs = jax.nn.softmax(jnp.where(keep, vals, -jnp.inf), axis=-1)
+    csum = jnp.cumsum(probs, axis=-1)
+    keep &= (csum - probs) < params.top_p[:, None]
+    masked = jnp.where(keep, vals, -jnp.inf)
+    choice = jax.random.categorical(key, masked, axis=-1)  # [B]
+    sampled = jnp.take_along_axis(idxs, choice[:, None], axis=-1)[:, 0]
+    return jnp.where(
+        params.temperature <= 0.0, greedy_tok, sampled.astype(jnp.int32)
+    )
 
 
 def log_softmax_gather(logits: jax.Array, tokens: jax.Array) -> jax.Array:

@@ -33,8 +33,9 @@ import jax
 import jax.numpy as jnp
 
 from .. import ops
-from ..executor.kv_cache import kv_write_decode, kv_write_prefill
+from ..executor.kv_cache import kv_write_decode_all, kv_write_prefill
 from ..parallel.shardings import ShardingPolicy
+from ..quant.qtensor import qeinsum
 from .rotary import compute_inv_freq
 
 _NOSHARD = ShardingPolicy(mesh=None)
@@ -99,8 +100,8 @@ def init_decoder_params(cfg, key, scale: float = 0.02) -> dict:
 
 def _project_qkv(cfg, lp, x, shard):
     """x [..., H] -> q [..., Nq, D], k/v [..., Nkv, D] (head axes explicit)."""
-    q = jnp.einsum("...h,hnd->...nd", x, lp["wq"])
-    kv = jnp.einsum("...h,hcnd->...cnd", x, lp["wkv"])
+    q = qeinsum("...h,hnd->...nd", x, lp["wq"])
+    kv = qeinsum("...h,hcnd->...cnd", x, lp["wkv"])
     if "q_bias" in lp:
         q = q + lp["q_bias"]
         kv = kv + lp["kv_bias"]
@@ -114,15 +115,20 @@ def _project_qkv(cfg, lp, x, shard):
 
 
 def _mlp(cfg, lp, x, shard):
-    gu = jnp.einsum("...h,hci->...ci", x, lp["gate_up_proj"])
+    gu = qeinsum("...h,hci->...ci", x, lp["gate_up_proj"])
     gu = shard.ffn(gu)
     out = ops.swiglu(gu[..., 0, :], gu[..., 1, :])
-    return shard.hidden(jnp.einsum("...i,ih->...h", out, lp["down_proj"]))
+    return shard.hidden(qeinsum("...i,ih->...h", out, lp["down_proj"]))
 
 
 def _unembed(params, cfg, normed):
-    w = params["lm_head"] if "lm_head" in params else params["embed"].T
-    return jnp.dot(normed, w, preferred_element_type=jnp.float32)
+    if "lm_head" in params:
+        return qeinsum(
+            "...h,hv->...v", normed, params["lm_head"], out_dtype=jnp.float32
+        )
+    return jnp.dot(
+        normed, params["embed"].T, preferred_element_type=jnp.float32
+    )
 
 
 def _rope_tables(cfg, positions):
@@ -170,7 +176,7 @@ def decoder_prefill(
         )
         attn = ops.prefill_attention(q, k, v, ctx.chunk_lens, sm_scale)
         attn_out = shard.hidden(
-            jnp.einsum("bsnd,ndh->bsh", attn, lp["o_proj"])
+            qeinsum("bsnd,ndh->bsh", attn, lp["o_proj"])
         )
         normed2, residual = ops.skip_rms_norm(
             attn_out, residual, lp["mlp_norm"], cfg.rms_norm_eps
@@ -211,7 +217,11 @@ def decoder_decode(
     max_seq = ctx.table_rows.shape[1] * kv_pages.shape[4]
 
     def layer_fn(carry, xs):
-        x, residual, kv_pages = carry
+        # The pool is READ-ONLY inside the scan: each layer's new K/V rides
+        # into attention as a virtual page and all layers scatter into the
+        # pool once after the scan (kv_write_decode_all) — keeping the carried
+        # pool buffer aliasable in place (no per-layer 2.9GB ping-pong copy).
+        x, residual = carry
         lp, li = xs
         normed, residual = ops.skip_rms_norm(
             x, residual, lp["attn_norm"], cfg.rms_norm_eps
@@ -219,27 +229,26 @@ def decoder_decode(
         q, k, v = _project_qkv(cfg, lp, normed, shard)
         q = ops.apply_rope(q, cos, sin)
         k = ops.apply_rope(k, cos, sin)
-        kv_pages = kv_write_decode(
-            kv_pages, li, k, v, ctx.table_rows, ctx.start_pos,
-            ctx.active,
-        )
         attn = ops.paged_decode_attention(
             q, kv_pages, li, ctx.table_rows, ctx.seq_lens,
-            max_seq, sm_scale,
+            max_seq, sm_scale, k_new=k, v_new=v,
         )
         attn_out = shard.hidden(
-            jnp.einsum("bnd,ndh->bh", attn, lp["o_proj"])
+            qeinsum("bnd,ndh->bh", attn, lp["o_proj"])
         )
         normed2, residual = ops.skip_rms_norm(
             attn_out, residual, lp["mlp_norm"], cfg.rms_norm_eps
         )
         mlp_out = _mlp(cfg, lp, normed2, shard)
-        return (mlp_out, residual, kv_pages), None
+        return (mlp_out, residual), (k, v)
 
     L = cfg.num_hidden_layers
-    init = (h, jnp.zeros_like(h), kv_pages)
+    init = (h, jnp.zeros_like(h))
     xs = (params["layers"], jnp.arange(L, dtype=jnp.int32))
-    (x, residual, kv_pages), _ = jax.lax.scan(layer_fn, init, xs)
+    (x, residual), (k_all, v_all) = jax.lax.scan(layer_fn, init, xs)
+    kv_pages = kv_write_decode_all(
+        kv_pages, k_all, v_all, ctx.table_rows, ctx.start_pos, ctx.active
+    )
     normed, _ = ops.skip_rms_norm(x, residual, params["final_norm"], cfg.rms_norm_eps)
     logits = _unembed(params, cfg, normed)
     return logits, kv_pages

@@ -63,17 +63,17 @@ def prefill_attention(q, k, v, seq_lens, sm_scale=None):
 
 
 def paged_decode_attention(
-    q, kv_pages, layer, page_table, seq_lens,
-    max_seq_len=None, sm_scale=None,
+    q, kv_pool, layer, page_table, seq_lens,
+    max_seq_len=None, sm_scale=None, k_new=None, v_new=None,
 ):
     if _use_pallas():
         from . import attention_decode
 
         return attention_decode.paged_flash_decode(
-            q, kv_pages, layer, page_table, seq_lens,
-            max_seq_len, sm_scale,
+            q, kv_pool, layer, page_table, seq_lens,
+            max_seq_len, sm_scale, k_new=k_new, v_new=v_new,
         )
     return ref.paged_decode_attention(
-        q, kv_pages, layer, page_table, seq_lens,
-        max_seq_len, sm_scale,
+        q, kv_pool, layer, page_table, seq_lens,
+        max_seq_len, sm_scale, k_new=k_new, v_new=v_new,
     )

@@ -135,23 +135,30 @@ def prefill_attention(
 
 
 def gather_kv_pages(
-    kv_pages: jax.Array,  # [L, P, 2, Hkv, page, D]
+    kv_pool,  # KVPool: pages [L, P, 2, Hkv, page, D] (+ scales when int8)
     layer: jax.Array | int,
     page_table: jax.Array,  # int32 [B, max_pages]
     max_seq_len: int,
+    out_dtype=None,
 ):
     """Gather one layer's K/V rows for each request out of the paged pool into
-    dense [B, Hkv, max_seq_len, D] views (XLA fallback for the decode kernel).
+    dense [B, Hkv, max_seq_len, D] views (XLA fallback for the decode kernel),
+    dequantizing INT8 caches on the way out.
 
     A single fused gather over the flattened (layer, page) axis — no
     materialized per-layer slice of the pool.
     """
-    L, P, _, Hkv, page_size, D = kv_pages.shape
+    pages = kv_pool.pages
+    L, P, _, Hkv, page_size, D = pages.shape
     n = max_seq_len // page_size
     pt = page_table[:, :n]  # [B, n]
     flat = layer * P + pt  # [B, n]
-    kv = kv_pages.reshape(L * P, 2, Hkv, page_size, D)[flat]  # [B,n,2,Hkv,ps,D]
+    kv = pages.reshape(L * P, 2, Hkv, page_size, D)[flat]  # [B,n,2,Hkv,ps,D]
     B = pt.shape[0]
+    if kv_pool.quantized:
+        sc = kv_pool.scales.reshape(L * P, 2, Hkv, page_size)[flat]
+        kv = kv.astype(jnp.float32) * sc[..., None]
+        kv = kv.astype(out_dtype or jnp.float32)
     kv = kv.transpose(2, 0, 3, 1, 4, 5).reshape(
         2, B, Hkv, n * page_size, D
     )
@@ -160,27 +167,36 @@ def gather_kv_pages(
 
 def paged_decode_attention(
     q: jax.Array,  # [B, Hq, D] — one new token per request
-    kv_pages: jax.Array,  # [L, P, 2, Hkv, page, D]
+    kv_pool,  # KVPool
     layer: jax.Array | int,
     page_table: jax.Array,  # int32 [B, max_pages]
     seq_lens: jax.Array,  # int32 [B] — lengths INCLUDING the new token
     max_seq_len: int | None = None,
     sm_scale: float | None = None,
+    k_new: jax.Array | None = None,  # [B, Hkv, D] — newest token, NOT in pool
+    v_new: jax.Array | None = None,
 ) -> jax.Array:
     """Decode-step attention reading K/V through the page table.
 
     Functional equivalent of the reference's two-stage split-KV flash decoding
     (flashdecoding.py:7-263); the Pallas kernel version streams only the live
-    pages, this XLA version gathers then masks.
+    pages, this XLA version gathers then masks. When (k_new, v_new) are given,
+    the pool holds seq_lens-1 tokens and the newest token is spliced into the
+    gathered view at position seq_lens-1 (deferred-write protocol).
     """
     B, Hq, D = q.shape
-    Hkv = kv_pages.shape[3]
-    page_size = kv_pages.shape[4]
+    Hkv = kv_pool.shape[3]
+    page_size = kv_pool.shape[4]
     if max_seq_len is None:
         max_seq_len = page_table.shape[1] * page_size
     if sm_scale is None:
         sm_scale = 1.0 / (D**0.5)
-    k, v = gather_kv_pages(kv_pages, layer, page_table, max_seq_len)
+    k, v = gather_kv_pages(kv_pool, layer, page_table, max_seq_len, q.dtype)
+    if k_new is not None:
+        bidx = jnp.arange(B)
+        pos_new = seq_lens - 1  # [B]
+        k = k.at[bidx, :, pos_new, :].set(k_new.astype(k.dtype))
+        v = v.at[bidx, :, pos_new, :].set(v_new.astype(v.dtype))
     groups = Hq // Hkv
     qg = q.reshape(B, Hkv, groups, D)
     logits = jnp.einsum(

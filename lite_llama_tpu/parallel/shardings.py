@@ -78,16 +78,15 @@ class ShardingPolicy:
         return specs
 
     # -- KV cache ---------------------------------------------------------
-    def cache_spec(self):
-        """kv_pages [L, P, 2, Hkv, ps, D]: KV heads over tp so decode
-        attention is chip-local."""
-        return {
-            "kv_pages": self._ns(None, None, None, "tp", None, None),
-            "page_table": self._ns(),
-            "seq_lens": self._ns(),
-            "free_stack": self._ns(),
-            "free_top": self._ns(),
-        }
+    def _cache_leaf_sharding(self, leaf):
+        """kv pages [L, P, 2, Hkv, ps, D] / scales [L, P, 2, Hkv, ps]: KV
+        heads (axis 3) over tp so decode attention is chip-local; all
+        bookkeeping arrays replicated. Dispatch by rank."""
+        if leaf.ndim == 6:
+            return self._ns(None, None, None, "tp", None, None)
+        if leaf.ndim == 5:
+            return self._ns(None, None, None, "tp", None)
+        return self._ns(*([None] * leaf.ndim))
 
     # -- activation constraints (used inside the forward) -----------------
     def heads(self, x):
@@ -125,13 +124,7 @@ class ShardingPolicy:
     def shard_cache(self, cache):
         if self.mesh is None:
             return cache
-        import dataclasses as dc
-
-        spec = self.cache_spec()
-        return dc.replace(
+        return jax.tree_util.tree_map(
+            lambda leaf: jax.device_put(leaf, self._cache_leaf_sharding(leaf)),
             cache,
-            **{
-                f.name: jax.device_put(getattr(cache, f.name), spec[f.name])
-                for f in dc.fields(cache)
-            },
         )

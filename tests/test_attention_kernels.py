@@ -14,10 +14,28 @@ from lite_llama_tpu.ops import ref
 from lite_llama_tpu.ops.attention_decode import paged_flash_decode
 
 
-def build_paged_kv(key, L, Hkv, P, ps, D, B, ppr, lens, dtype=jnp.float32):
+from lite_llama_tpu.executor.kv_cache import KVPool
+
+
+def build_paged_kv(key, L, Hkv, P, ps, D, B, ppr, lens, dtype=jnp.float32,
+                   quantized=False):
     """Random pool + a page table whose live entries are a permutation of
     distinct pages (like the allocator produces)."""
-    kv_pages = jax.random.normal(key, (L, P, 2, Hkv, ps, D), dtype)
+    if quantized:
+        kv_pages = KVPool(
+            pages=jax.random.randint(
+                key, (L, P, 2, Hkv, ps, D), -127, 128, jnp.int8
+            ),
+            scales=jax.random.uniform(
+                jax.random.fold_in(key, 1), (L, P, 2, Hkv, ps),
+                jnp.float32, 0.005, 0.02,
+            ),
+        )
+    else:
+        kv_pages = KVPool(
+            pages=jax.random.normal(key, (L, P, 2, Hkv, ps, D), dtype),
+            scales=None,
+        )
     rng = np.random.default_rng(0)
     perm = rng.permutation(P)
     table = np.zeros((B, ppr), np.int32)
@@ -73,3 +91,106 @@ def test_paged_flash_decode_bf16():
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_paged_flash_decode_virtual_token():
+    """Deferred-write protocol: newest token via k_new/v_new + LSE combine."""
+    B, Nq, Hkv, D, ps = 2, 8, 2, 128, 16
+    L, P, ppr = 2, 32, 8
+    lens = [34, 8]  # lengths INCLUDING the new token
+    lens_arr = jnp.asarray(lens, jnp.int32)
+    kv_pages, table = build_paged_kv(
+        jax.random.PRNGKey(0), L, Hkv, P, ps, D, B, ppr, lens
+    )
+    q = jax.random.normal(jax.random.PRNGKey(1), (B, Nq, D), jnp.float32)
+    k_new = jax.random.normal(jax.random.PRNGKey(2), (B, Hkv, D), jnp.float32)
+    v_new = jax.random.normal(jax.random.PRNGKey(3), (B, Hkv, D), jnp.float32)
+    want = ref.paged_decode_attention(
+        q, kv_pages, 0, table, lens_arr, ppr * ps, k_new=k_new, v_new=v_new
+    )
+    got = paged_flash_decode(
+        q, kv_pages, 0, table, lens_arr, ppr * ps, interpret=True,
+        k_new=k_new, v_new=v_new,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5
+    )
+    # Also check the ref's splice agrees with writing the token to the pool
+    # and attending normally.
+    from lite_llama_tpu.executor.kv_cache import kv_write_decode
+
+    pos = lens_arr - 1
+    kv2 = kv_write_decode(kv_pages, 0, k_new, v_new, table, pos)
+    want2 = ref.paged_decode_attention(q, kv2, 0, table, lens_arr, ppr * ps)
+    np.testing.assert_allclose(
+        np.asarray(want), np.asarray(want2), rtol=3e-5, atol=3e-5
+    )
+
+
+def test_paged_flash_decode_int8_kv():
+    B, Nq, Hkv, D, ps = 2, 8, 2, 128, 16
+    L, P, ppr = 2, 32, 8
+    lens = [33, 9]
+    lens_arr = jnp.asarray(lens, jnp.int32)
+    kv_pages, table = build_paged_kv(
+        jax.random.PRNGKey(4), L, Hkv, P, ps, D, B, ppr, lens, quantized=True
+    )
+    q = jax.random.normal(jax.random.PRNGKey(5), (B, Nq, D), jnp.float32)
+    for layer in (0, 1):
+        want = ref.paged_decode_attention(
+            q, kv_pages, layer, table, lens_arr, ppr * ps
+        )
+        got = paged_flash_decode(
+            q, kv_pages, layer, table, lens_arr, ppr * ps, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=3e-3, atol=3e-3,
+            err_msg=f"layer={layer}",
+        )
+
+
+def test_int8_kv_cache_roundtrip_through_decoder():
+    """INT8 KV end-to-end: quantized-cache decode logits close to bf16-cache
+    (perplexity-parity gate, BASELINE.md)."""
+    from lite_llama_tpu.config import LlamaConfig
+    from lite_llama_tpu.executor.kv_cache import alloc_prefill, create_kv_cache
+    from lite_llama_tpu.models.decoder import (
+        AttnContext, decoder_prefill, decoder_decode, init_decoder_params)
+
+    cfg = LlamaConfig(hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, vocab_size=97, max_seq_len=32,
+                      dtype=jnp.float32)
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    B, S = 2, 6
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, S), 0, 97)
+    lens = jnp.full((B,), S, jnp.int32)
+    outs = {}
+    for quant in (False, True):
+        cache = create_kv_cache(2, 2, cfg.head_dim, num_pages=16, page_size=4,
+                                max_reqs=B, max_seq_len=32, dtype=jnp.float32,
+                                quantized=quant)
+        req = jnp.arange(B, dtype=jnp.int32)
+        cache = alloc_prefill(cache, req, lens)
+        ctx = AttnContext(cache.page_table[req], lens,
+                          jnp.zeros((B,), jnp.int32), lens)
+        logits, kv = decoder_prefill(params, cfg, cache.kv_pages, ctx,
+                                     input_ids=ids)
+        cache.kv_pages = kv
+        from lite_llama_tpu.executor.kv_cache import alloc_decode
+        cache = alloc_decode(cache, req)
+        pos = cache.seq_lens[req] - 1
+        ctx = AttnContext(cache.page_table[req], cache.seq_lens[req], pos,
+                          jnp.ones((B,), jnp.int32), jnp.ones((B,), bool))
+        dl, kv = decoder_decode(params, cfg, cache.kv_pages, ctx,
+                                input_ids=jnp.asarray([3, 5]))
+        outs[quant] = (np.asarray(logits), np.asarray(dl))
+        if quant:
+            assert kv.pages.dtype == jnp.int8
+            assert kv.scales is not None
+    # prefill + decode logits close between bf16-KV and int8-KV paths
+    for a, b in zip(outs[False], outs[True]):
+        p1 = jax.nn.softmax(jnp.asarray(a), -1)
+        p2 = jax.nn.softmax(jnp.asarray(b), -1)
+        tv = float(jnp.max(jnp.sum(jnp.abs(p1 - p2), -1))) / 2
+        assert tv < 0.03, f"total variation {tv}"

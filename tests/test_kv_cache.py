@@ -106,7 +106,7 @@ def test_kv_write_prefill_then_read_back():
     kv = kv_write_prefill(
         cache.kv_pages, 1, k_new, v_new, table_rows,
         jnp.zeros((B,), jnp.int32), lens,
-    )
+    ).pages
     # Read back token (b=1, s=3) from the pool through the table.
     pos = 3
     page = int(table_rows[1, pos // 4])
@@ -138,7 +138,7 @@ def test_kv_write_decode_and_inactive_drop():
     active = jnp.array([True, False])
     kv = kv_write_decode(
         cache.kv_pages, 0, k_new, k_new, table_rows, pos, active
-    )
+    ).pages
     page0 = int(table_rows[0, 1])
     np.testing.assert_allclose(np.asarray(kv[0, page0, 0, :, 0, :]), 7.0)
     # Inactive request wrote nothing anywhere (K and V halves both written

@@ -1,0 +1,121 @@
+"""Weight-only INT8/FP8 quantization correctness.
+
+Beyond-reference capability (BASELINE.md targets): quantized projections must
+keep logits close to full precision, generation must run end-to-end, and
+qeinsum must equal einsum-on-dequantized exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lite_llama_tpu.config import LlamaConfig
+from lite_llama_tpu.executor.engine import InferenceEngine
+from lite_llama_tpu.generation.generate import TextGenerator
+from lite_llama_tpu.models.decoder import init_decoder_params
+from lite_llama_tpu.quant.qtensor import (
+    QTensor,
+    dequantize_tree,
+    qeinsum,
+    quantize,
+    quantize_decoder_params,
+)
+
+CFG = dict(
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    vocab_size=97,
+    max_seq_len=64,
+    dtype=jnp.float32,
+)
+
+
+@pytest.mark.parametrize("qdtype", [jnp.int8, jnp.float8_e4m3fn],
+                         ids=["int8", "fp8"])
+def test_qeinsum_matches_dequant(qdtype):
+    w = jax.random.normal(jax.random.PRNGKey(0), (32, 4, 16), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (5, 32), jnp.float32)
+    qt = quantize(w, (0,), qdtype)
+    assert qt.q.dtype == qdtype
+    assert qt.scale.shape == (4, 16)
+    got = qeinsum("bh,hnd->bnd", x, qt)
+    want = jnp.einsum("bh,hnd->bnd", x, qt.dequant(jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_quantize_roundtrip_error_small():
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 64), jnp.float32) * 0.05
+    qt = quantize(w, (0,), jnp.int8)
+    err = jnp.abs(qt.dequant(jnp.float32) - w)
+    # int8 symmetric: max error ~ scale/2 per channel
+    assert float(jnp.max(err / jnp.max(jnp.abs(w), 0, keepdims=True))) < 0.01
+
+
+@pytest.mark.parametrize("qdtype", [jnp.int8, jnp.float8_e4m3fn],
+                         ids=["int8", "fp8"])
+def test_quantized_decoder_logits_close(qdtype):
+    from lite_llama_tpu.executor.kv_cache import alloc_prefill, create_kv_cache
+    from lite_llama_tpu.models.decoder import AttnContext, decoder_prefill
+
+    cfg = LlamaConfig(**CFG)
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    qparams = quantize_decoder_params(params, qdtype)
+    # Tree structure sanity: projections are QTensors
+    assert isinstance(qparams["layers"]["wq"], QTensor)
+    assert qparams["layers"]["attn_norm"] is params["layers"]["attn_norm"]
+
+    B, S = 2, 6
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, S), 0, cfg.vocab_size)
+    lens = jnp.full((B,), S, jnp.int32)
+
+    def run(p):
+        cache = create_kv_cache(
+            cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim,
+            num_pages=16, page_size=4, max_reqs=B, max_seq_len=32,
+            dtype=jnp.float32,
+        )
+        req = jnp.arange(B, dtype=jnp.int32)
+        cache = alloc_prefill(cache, req, lens)
+        ctx = AttnContext(cache.page_table[req], lens,
+                          jnp.zeros((B,), jnp.int32), lens)
+        logits, _ = decoder_prefill(p, cfg, cache.kv_pages, ctx, input_ids=ids)
+        return logits
+
+    full = run(params)
+    quant = run(qparams)
+    dequant = run(dequantize_tree(qparams, jnp.float32))
+    # quantized forward == forward on dequantized weights (same math)
+    np.testing.assert_allclose(
+        np.asarray(quant), np.asarray(dequant), rtol=1e-3, atol=1e-3
+    )
+    # and close to full precision in probability space
+    pf = jax.nn.softmax(full, -1)
+    pq = jax.nn.softmax(quant, -1)
+    tv = float(jnp.max(jnp.sum(jnp.abs(pf - pq), -1))) / 2
+    assert tv < 0.05, f"total variation {tv}"
+
+
+def test_quantized_generation_end_to_end():
+    cfg = LlamaConfig(**CFG, eos_token_id=96)
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    qparams = quantize_decoder_params(params, jnp.int8)
+    engine = InferenceEngine(cfg, qparams, page_size=8, max_reqs=4,
+                             num_pages=32, decode_chunk=4)
+    gen = TextGenerator(engine)
+    out = gen.generate_tokens([[1, 2, 3], [7, 8]], max_gen_len=8,
+                              temperature=0.0)
+    assert all(1 <= len(o.token_ids) <= 8 for o in out)
+    # greedy path matches generation with explicitly dequantized weights
+    engine2 = InferenceEngine(cfg, dequantize_tree(qparams, jnp.float32),
+                              page_size=8, max_reqs=4, num_pages=32,
+                              decode_chunk=4)
+    out2 = TextGenerator(engine2).generate_tokens(
+        [[1, 2, 3], [7, 8]], max_gen_len=8, temperature=0.0
+    )
+    for a, b in zip(out, out2):
+        assert a.token_ids == b.token_ids

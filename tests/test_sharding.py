@@ -67,7 +67,7 @@ def test_params_actually_sharded():
     assert len(shards) == 8
     # head axis (axis 2) split 8 ways
     assert shards[0].data.shape[2] == wq.shape[2] // 8
-    kp = sharded.cache.kv_pages
+    kp = sharded.cache.kv_pages.pages
     assert kp.addressable_shards[0].data.shape[3] == kp.shape[3] // 8
 
 
