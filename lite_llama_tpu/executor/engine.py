@@ -219,7 +219,9 @@ class InferenceEngine:
         return [self._free_slots.pop(0) for _ in range(n)]
 
     def release_slots(self, slots: Sequence[int], lens: Sequence[int]):
-        self.cache = jax.jit(free_requests, donate_argnums=(0,))(
+        if not hasattr(self, "_free_jit"):
+            self._free_jit = jax.jit(free_requests, donate_argnums=(0,))
+        self.cache = self._free_jit(
             self.cache, jnp.asarray(slots, jnp.int32)
         )
         for s, n in zip(slots, lens):

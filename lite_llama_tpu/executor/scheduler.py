@@ -1,0 +1,238 @@
+"""Continuous batching scheduler.
+
+Beyond-reference capability: the reference serves static batches only and
+lists continuous batching as TODO (README.md:136; the request-slot
+bookkeeping at model_executor.py:202 and the ``indexs_convert`` stub at
+mem_manager.py:301 show where it was headed). This scheduler:
+
+- admits requests into fixed engine slots as they arrive (admission control =
+  the host-side page/slot capacity guard),
+- runs decode at a FIXED batch width (max_reqs) with finished/empty slots
+  masked inactive — so the jitted decode chunk never re-specializes as the
+  active set churns (the TPU answer to ragged batch sizes),
+- prefills new arrivals in small padded batches between decode chunks,
+- frees pages/slots on completion and immediately refills from the queue.
+
+The scheduler is deliberately host-side Python: it runs once per decode chunk
+(tens of ms of device work), so its cost is noise — the device never waits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import time
+from collections import deque
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..generation.sampling import SamplingParams
+from .engine import InferenceEngine
+from .kv_cache import cdiv
+
+
+@dataclasses.dataclass
+class Request:
+    req_id: int
+    prompt_tokens: List[int]
+    max_gen_len: int
+    temperature: float = 0.6
+    top_p: float = 0.9
+    top_k: int = 0
+    # runtime state
+    slot: Optional[int] = None
+    output_tokens: List[int] = dataclasses.field(default_factory=list)
+    state: str = "waiting"  # waiting | running | done
+    finish_reason: Optional[str] = None
+    max_total: int = 0
+    submitted_at: float = 0.0
+    first_token_at: Optional[float] = None
+    finished_at: Optional[float] = None
+
+    def result(self):
+        return {
+            "req_id": self.req_id,
+            "tokens": self.output_tokens,
+            "finish_reason": self.finish_reason,
+        }
+
+
+class ContinuousBatchingScheduler:
+    """Keeps the engine's decode batch full from a request queue."""
+
+    def __init__(
+        self,
+        engine: InferenceEngine,
+        max_prefill_batch: int = 8,
+        chunk_steps: Optional[int] = None,
+    ):
+        self.engine = engine
+        self.max_prefill_batch = max_prefill_batch
+        self.chunk_steps = chunk_steps or engine.decode_chunk
+        self.waiting: deque[Request] = deque()
+        self.running: Dict[int, Request] = {}  # slot -> request
+        self.done: List[Request] = []
+        self._ids = itertools.count()
+        M = engine.max_reqs
+        # Fixed-width decode state (one row per engine slot).
+        self._tok = jnp.zeros((M,), jnp.int32)
+        self._done_mask = np.ones((M,), bool)  # empty slots count as done
+        self._stop_lens = np.zeros((M,), np.int32)
+        self._sampling = SamplingParams.make(M)
+        self._samp_host = {
+            "temperature": np.full((M,), 0.6, np.float32),
+            "top_p": np.full((M,), 0.9, np.float32),
+            "top_k": np.zeros((M,), np.int32),
+        }
+
+    # -- API ----------------------------------------------------------------
+    def submit(
+        self, prompt_tokens: Sequence[int], max_gen_len: int = 128,
+        temperature: float = 0.6, top_p: float = 0.9, top_k: int = 0,
+    ) -> int:
+        r = Request(
+            req_id=next(self._ids),
+            prompt_tokens=list(prompt_tokens),
+            max_gen_len=max_gen_len,
+            temperature=temperature,
+            top_p=top_p,
+            top_k=top_k,
+            submitted_at=time.perf_counter(),
+        )
+        self.waiting.append(r)
+        return r.req_id
+
+    def has_work(self) -> bool:
+        return bool(self.waiting or self.running)
+
+    def run(self, on_tokens: Optional[Callable] = None) -> List[Request]:
+        """Drive until all submitted requests complete. ``on_tokens(req,
+        new_token_ids)`` streams per-chunk output."""
+        while self.has_work():
+            self.step(on_tokens)
+        out = self.done
+        self.done = []
+        return out
+
+    # -- one scheduler iteration ---------------------------------------------
+    def step(self, on_tokens: Optional[Callable] = None) -> None:
+        self._admit()
+        if self.running:
+            self._decode_chunk(on_tokens)
+
+    # -- internals ------------------------------------------------------------
+    def _admit(self) -> None:
+        eng = self.engine
+        batch: List[Request] = []
+        while (
+            self.waiting
+            and len(batch) < self.max_prefill_batch
+            and len(batch) < len(eng._free_slots)
+        ):
+            r = self.waiting[0]
+            max_total = min(
+                len(r.prompt_tokens) + r.max_gen_len, eng.config.max_seq_len
+            )
+            need = cdiv(max_total, eng.page_size)
+            if need > eng._host_free_pages:
+                break  # not enough KV room yet; wait for completions
+            eng._host_free_pages -= need
+            r.max_total = max_total
+            self.waiting.popleft()
+            batch.append(r)
+        if not batch:
+            return
+        slots = self.engine.acquire_slots(len(batch))
+        sampling = SamplingParams(
+            temperature=jnp.asarray(
+                [r.temperature for r in batch], jnp.float32
+            ),
+            top_p=jnp.asarray([r.top_p for r in batch], jnp.float32),
+            top_k=jnp.asarray([r.top_k for r in batch], jnp.int32),
+        )
+        first_tok, lens, _ = self.engine.prefill(
+            [r.prompt_tokens for r in batch], sampling, slots
+        )
+        now = time.perf_counter()
+        for i, (r, slot) in enumerate(zip(batch, slots)):
+            r.slot = slot
+            r.state = "running"
+            r.first_token_at = now
+            tok = int(first_tok[i])
+            r.output_tokens.append(tok)
+            self.running[slot] = r
+            self._tok = self._tok.at[slot].set(tok)
+            self._stop_lens[slot] = r.max_total
+            for k, v in (
+                ("temperature", r.temperature),
+                ("top_p", r.top_p),
+                ("top_k", r.top_k),
+            ):
+                self._samp_host[k][slot] = v
+            done_now = (
+                tok in self._eos_ids() or len(r.prompt_tokens) + 1 >= r.max_total
+            )
+            self._done_mask[slot] = done_now
+            if done_now:
+                self._finish(r, "stop" if tok in self._eos_ids() else "length")
+        self._sampling = SamplingParams(
+            temperature=jnp.asarray(self._samp_host["temperature"]),
+            top_p=jnp.asarray(self._samp_host["top_p"]),
+            top_k=jnp.asarray(self._samp_host["top_k"]),
+        )
+
+    def _decode_chunk(self, on_tokens) -> None:
+        eng = self.engine
+        M = eng.max_reqs
+        slots = list(range(M))
+        tok, done, toks = eng.decode(
+            slots,
+            self._tok,
+            jnp.asarray(self._done_mask),
+            self._stop_lens.tolist(),
+            self._sampling,
+            n_steps=self.chunk_steps,
+        )
+        self._tok = tok
+        new_done = np.array(done)
+        eos = self._eos_ids()
+        finished: List[Request] = []
+        for slot, r in list(self.running.items()):
+            if self._done_mask[slot]:
+                continue
+            room = r.max_total - len(r.prompt_tokens) - len(r.output_tokens)
+            row = [int(t) for t in toks[:, slot]][: max(room, 0)]
+            emitted = []
+            for t in row:
+                emitted.append(t)
+                if t in eos:
+                    break
+            r.output_tokens.extend(emitted)
+            if on_tokens and emitted:
+                on_tokens(r, emitted)
+            hit_eos = bool(emitted and emitted[-1] in eos)
+            out_len = len(r.prompt_tokens) + len(r.output_tokens)
+            if hit_eos or out_len >= r.max_total or new_done[slot]:
+                finished.append(r)
+        for r in finished:
+            self._finish(r, "stop" if r.output_tokens and
+                         r.output_tokens[-1] in eos else "length")
+        self._done_mask = np.array(new_done)
+        for slot in range(M):
+            if slot not in self.running:
+                self._done_mask[slot] = True
+
+    def _finish(self, r: Request, reason: str) -> None:
+        r.state = "done"
+        r.finish_reason = reason
+        r.finished_at = time.perf_counter()
+        if r.slot is not None and r.slot in self.running:
+            del self.running[r.slot]
+            self.engine.release_slots([r.slot], [r.max_total])
+            self._done_mask[r.slot] = True
+        self.done.append(r)
+
+    def _eos_ids(self) -> set:
+        return set(int(t) for t in np.asarray(self.engine._eos_array) if t >= 0)

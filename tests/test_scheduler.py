@@ -1,0 +1,89 @@
+"""Continuous batching scheduler: more requests than slots, interleaved
+admission/completion, greedy-parity with isolated generation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lite_llama_tpu.config import LlamaConfig
+from lite_llama_tpu.executor.engine import InferenceEngine
+from lite_llama_tpu.executor.scheduler import ContinuousBatchingScheduler
+from lite_llama_tpu.generation.generate import TextGenerator
+from lite_llama_tpu.models.decoder import init_decoder_params
+
+
+def make_engine(max_reqs=4, num_pages=32):
+    cfg = LlamaConfig(
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        vocab_size=97,
+        max_seq_len=32,
+        dtype=jnp.float32,
+        eos_token_id=96,
+    )
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    return InferenceEngine(
+        cfg, params, page_size=4, max_reqs=max_reqs, num_pages=num_pages,
+        decode_chunk=4,
+    )
+
+
+def test_more_requests_than_slots_all_complete():
+    engine = make_engine(max_reqs=4, num_pages=32)
+    sched = ContinuousBatchingScheduler(engine, max_prefill_batch=2)
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(0, 96, size=rng.integers(2, 6)).tolist()
+               for _ in range(10)]
+    ids = [sched.submit(p, max_gen_len=6, temperature=0.0) for p in prompts]
+    results = {r.req_id: r for r in sched.run()}
+    assert len(results) == 10
+    for i in ids:
+        r = results[i]
+        assert r.state == "done"
+        assert 1 <= len(r.output_tokens) <= 6
+    # engine fully drained
+    assert len(engine._free_slots) == 4
+    assert engine._host_free_pages == engine.num_pages
+    assert int(engine.cache.free_top) == engine.num_pages
+
+
+def test_scheduler_greedy_matches_isolated():
+    engine = make_engine(max_reqs=4, num_pages=48)
+    prompts = [[1, 2, 3, 4], [9, 8, 7], [5, 5, 5, 5, 5], [10, 20], [30], [4, 2]]
+    # isolated reference outputs (fresh engine per prompt to be safe)
+    expected = []
+    for p in prompts:
+        e2 = make_engine(max_reqs=4, num_pages=48)
+        out = TextGenerator(e2).generate_tokens([p], max_gen_len=7,
+                                                temperature=0.0)
+        expected.append(out[0].token_ids)
+    sched = ContinuousBatchingScheduler(engine, max_prefill_batch=3)
+    ids = [sched.submit(p, max_gen_len=7, temperature=0.0) for p in prompts]
+    results = {r.req_id: r for r in sched.run()}
+    for i, want in zip(ids, expected):
+        assert results[i].output_tokens == want, f"req {i}"
+
+
+def test_streaming_callback():
+    engine = make_engine()
+    sched = ContinuousBatchingScheduler(engine)
+    rid = sched.submit([3, 1, 4, 1, 5], max_gen_len=5, temperature=0.0)
+    streamed = []
+    results = sched.run(on_tokens=lambda r, toks: streamed.extend(toks))
+    full = {r.req_id: r for r in results}[rid].output_tokens
+    # first token arrives via prefill (not the callback); the rest stream
+    assert full[1:] == streamed
+
+
+def test_admission_respects_capacity():
+    engine = make_engine(max_reqs=4, num_pages=12)  # tight pool
+    sched = ContinuousBatchingScheduler(engine)
+    for _ in range(6):
+        sched.submit([1, 2, 3], max_gen_len=8, temperature=0.0)
+    results = sched.run()
+    assert len(results) == 6
+    assert engine._host_free_pages == engine.num_pages
