@@ -116,7 +116,9 @@ class InferenceEngine:
 
     # -- construction -----------------------------------------------------
     @classmethod
-    def build(cls, ckpt_dir: str, dtype=jnp.bfloat16, **kw) -> "InferenceEngine":
+    def build(
+        cls, ckpt_dir: str, dtype=jnp.bfloat16, max_seq_len=None, **kw
+    ) -> "InferenceEngine":
         """Load config + weights from an HF or engine-converted checkpoint dir
         (the reference's ModelExecutor.build, model_executor.py:33)."""
         from ..utils.weights import (
@@ -125,7 +127,10 @@ class InferenceEngine:
             load_hf_checkpoint,
         )
 
-        config = load_config(ckpt_dir, dtype=dtype)
+        overrides = {"dtype": dtype}
+        if max_seq_len is not None:
+            overrides["max_seq_len"] = max_seq_len
+        config = load_config(ckpt_dir, **overrides)
         if is_converted_checkpoint(ckpt_dir):
             params = load_converted(ckpt_dir, dtype=dtype)
         else:

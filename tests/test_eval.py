@@ -1,0 +1,168 @@
+"""Tests for the evaluation subsystem (metrics, dataset adapters, harness).
+
+Mirrors the reference's evaluator semantics (examples/evaluator/eval.py) —
+normalization, EM, penalized F1, Jaccard, MC answer extraction — plus an
+end-to-end harness run over a tiny random engine with a fake tokenizer.
+"""
+
+import json
+
+import jax.numpy as jnp
+import pytest
+
+from lite_llama_tpu.eval import (
+    HellaSwag,
+    HotpotQA,
+    InferenceHarness,
+    exact_match,
+    extract_final_choice,
+    jaccard_similarity,
+    normalize_answer,
+    penalized_f1,
+    run_eval,
+    score_all,
+)
+
+
+class TestMetrics:
+    def test_normalize(self):
+        assert normalize_answer("The  Quick, quick brown FOX!") == "quick brown fox"
+        assert normalize_answer("a the an") == ""
+
+    def test_exact_match(self):
+        assert exact_match("The Answer", "answer") == 1.0
+        assert exact_match("answer one", "answer two") == 0.0
+
+    def test_penalized_f1(self):
+        assert penalized_f1("paris", "paris") == 1.0
+        assert penalized_f1("tokyo", "paris") == 0.0
+        # Rambling prediction (>3x gt length) gets penalized by 0.5.
+        short = penalized_f1("paris is", "paris")
+        long = penalized_f1("paris is a large city in northern france", "paris")
+        assert long < short
+
+    def test_jaccard(self):
+        assert jaccard_similarity("red blue", "blue red") == 1.0
+        assert jaccard_similarity("red", "blue") == 0.0
+        assert jaccard_similarity("", "x") == 0.0
+
+    def test_extract_choice(self):
+        assert extract_final_choice("The answer: B") == "B"
+        assert extract_final_choice("I pick option c") == "C"
+        assert extract_final_choice("A) because ...") == "A"
+        assert extract_final_choice("no letters here at all") is None
+
+    def test_score_all_keys(self):
+        scores = score_all(["paris"], ["paris"])
+        assert set(scores) == {"EM", "F1 (penalized)", "Jaccard", "Embedding Sim"}
+        assert scores["EM"] == 1.0
+        assert scores["Embedding Sim"] == pytest.approx(1.0, abs=1e-5)
+
+
+class TestDatasets:
+    def test_hotpotqa(self, tmp_path):
+        data = [
+            {
+                "_id": "q1",
+                "question": "Where is the Eiffel Tower?",
+                "answer": "Paris",
+                "context": [["Eiffel", ["The Eiffel Tower is in Paris.", "x"]]],
+                "supporting_facts": [["Eiffel", 0]],
+            }
+        ]
+        p = tmp_path / "hotpot.json"
+        p.write_text(json.dumps(data))
+        ds = HotpotQA(str(p))
+        gts, prompts, _ = ds.parse_data()
+        assert gts == ["paris"]
+        assert "Eiffel Tower is in Paris" in prompts[0]
+        assert "Question:" in prompts[0]
+        scores = ds.evaluate(["Paris"], gts)
+        assert scores["EM"] == 1.0
+
+    def test_hellaswag(self, tmp_path):
+        rows = [
+            {
+                "ctx": "A man sits down at a piano.",
+                "endings": ["He plays a song.", "He eats it.", "He flies.", "He melts."],
+                "label": "0",
+            }
+        ]
+        p = tmp_path / "hs.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        ds = HellaSwag(str(p))
+        gts, prompts, options = ds.parse_data()
+        assert gts == ["A"]
+        assert "A)" in prompts[0] and "D)" in prompts[0]
+        # Explicit letter answer.
+        scores = ds.evaluate(["The answer is A"], gts, options)
+        assert scores["EM"] == 1.0
+        # Free-text answer resolved by option similarity.
+        scores2 = ds.evaluate(["he starts playing a song"], gts, options)
+        assert scores2["EM"] == 1.0
+
+
+class _FakeTokenizer:
+    """Whitespace 'tokenizer' good enough for the harness contract."""
+
+    eos_token_id = 0
+
+    def encode(self, text):
+        return [(hash(w) % 97) + 1 for w in text.split()] or [1]
+
+    def decode(self, ids):
+        return " ".join(f"t{i}" for i in ids)
+
+    def __call__(self, text, add_special_tokens=False):
+        return {"input_ids": self.encode(text)}
+
+
+@pytest.fixture(scope="module")
+def tiny_generator():
+    import jax
+
+    from lite_llama_tpu.config import LlamaConfig
+    from lite_llama_tpu.executor.engine import InferenceEngine
+    from lite_llama_tpu.generation.generate import TextGenerator
+    from lite_llama_tpu.models.decoder import init_decoder_params
+
+    cfg = LlamaConfig(
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        vocab_size=128,
+        max_seq_len=128,
+        dtype=jnp.float32,
+    )
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    engine = InferenceEngine(
+        cfg, params, page_size=16, max_reqs=4, num_pages=48, decode_chunk=4
+    )
+    return TextGenerator(engine, _FakeTokenizer())
+
+
+class TestHarness:
+    def test_inference_and_run_eval(self, tiny_generator, tmp_path):
+        harness = InferenceHarness(
+            temperature=0.0, max_gen_len=8, generator=tiny_generator,
+            apply_template=False,
+        )
+        texts, elapsed, tokens = harness.inference(
+            tiny_generator, ["hello world", "another prompt"]
+        )
+        assert len(texts) == 2 and elapsed > 0 and tokens > 0
+
+        rows = [
+            {
+                "ctx": "ctx",
+                "endings": ["one", "two", "three", "four"],
+                "label": "1",
+            }
+        ]
+        p = tmp_path / "hs.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        scores = run_eval(HellaSwag(str(p)), harness)
+        assert set(scores) == {"EM", "F1 (penalized)", "Jaccard", "Embedding Sim"}
