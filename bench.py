@@ -11,7 +11,9 @@ metric measures. Sampling matches the reference benchmark defaults
 (temperature 0.6, top-p 0.9 — examples/benchmark.py).
 
 Env knobs: BENCH_MODEL (preset name), BENCH_BS, BENCH_GEN, BENCH_PROMPT,
-BENCH_PAGE, BENCH_CHUNK, BENCH_QUICK=1 (small smoke config).
+BENCH_PAGE, BENCH_CHUNK, BENCH_QUICK=1 (small smoke config),
+BENCH_QUANT=int8|fp8 (weight-only quantized matmuls),
+BENCH_KV_QUANT=1 (INT8 KV cache).
 """
 
 from __future__ import annotations
@@ -49,6 +51,13 @@ def main():
 
     rng = np.random.default_rng(0)
     params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    quant = os.environ.get("BENCH_QUANT", "")
+    kv_quant = os.environ.get("BENCH_KV_QUANT") == "1"
+    if quant:
+        from lite_llama_tpu.quant.qtensor import quantize_decoder_params
+
+        qdtype = jnp.int8 if quant == "int8" else jnp.float8_e4m3fn
+        params = quantize_decoder_params(params, qdtype)
     num_pages = bs * ((prompt_len + gen_len + page_size) // page_size + 1) + 16
     engine = InferenceEngine(
         cfg,
@@ -57,6 +66,7 @@ def main():
         max_reqs=bs,
         num_pages=num_pages,
         decode_chunk=chunk,
+        kv_quant=kv_quant,
     )
     gen = TextGenerator(engine)
     prompts = [
@@ -80,8 +90,10 @@ def main():
     total_out = sum(len(o.token_ids) for o in outs)
     tps = total_out / dt
     ms_per_tok = 1000.0 * dt / max(total_out, 1)
+    tag = f" w{quant}" if quant else ""
+    tag += " kv8" if kv_quant else ""
     result = {
-        "metric": f"tokens/s {model} bs={bs} gen={gen_len} ({jax.default_backend()})",
+        "metric": f"tokens/s {model}{tag} bs={bs} gen={gen_len} ({jax.default_backend()})",
         "value": round(tps, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tps / BASELINE_TOKENS_PER_S, 3),

@@ -177,15 +177,20 @@ class InferenceEngine:
 
     def _decode_chunk(
         self, params, cache, req_ids, tok, done, stop_lens, key, sampling,
-        *, n_steps: int,
+        n_limit, *, n_steps: int,
     ):
+        """Runs ``n_steps`` (static, bucketed) scan iterations but only the
+        first ``n_limit`` (traced) advance any state — steps past the limit
+        execute masked, so one compiled shape serves every tail length."""
         cfg = self.config
         eos = self._eos_array
         pad = self.pad_id
 
-        def body(carry, step_key):
+        def body(carry, xs):
+            step_key, step_i = xs
             cache, tok, done = carry
-            active = ~done
+            step_ok = step_i < n_limit
+            active = ~done & step_ok
             cache = alloc_decode(cache, req_ids, active)
             pos = cache.seq_lens[req_ids] - 1
             ctx = AttnContext(
@@ -201,14 +206,19 @@ class InferenceEngine:
             )
             cache = dataclasses.replace(cache, kv_pages=kv)
             next_tok = sample(logits, step_key, sampling)
-            emit = jnp.where(done, pad, next_tok)
-            hit_eos = jnp.isin(next_tok, eos)
-            hit_len = cache.seq_lens[req_ids] >= stop_lens
+            # Steps past n_limit are frozen: carry and emissions unchanged.
+            next_tok = jnp.where(step_ok, next_tok, tok)
+            emit = jnp.where(done | ~step_ok, pad, next_tok)
+            hit_eos = jnp.isin(next_tok, eos) & step_ok
+            hit_len = (cache.seq_lens[req_ids] >= stop_lens) & step_ok
             new_done = done | hit_eos | hit_len
             return (cache, next_tok, new_done), emit
 
         keys = jax.random.split(key, n_steps)
-        (cache, tok, done), toks = jax.lax.scan(body, (cache, tok, done), keys)
+        steps = jnp.arange(n_steps, dtype=jnp.int32)
+        (cache, tok, done), toks = jax.lax.scan(
+            body, (cache, tok, done), (keys, steps)
+        )
         return cache, tok, done, toks  # toks: [n_steps, B]
 
     # -- host API ---------------------------------------------------------
@@ -267,7 +277,19 @@ class InferenceEngine:
 
     def decode(self, slots, tok, done, stop_lens, sampling, n_steps: int):
         """Run one jitted multi-step decode chunk. Returns (tokens
-        [n_steps, B] np.int32 — pad-filled after each row's eos, done np)."""
+        [n_steps, B] np.int32 — pad-filled after each row's eos, done np).
+
+        ``n_steps`` is bucketed to {decode_chunk, pow2 tails} so the jitted
+        chunk compiles for a handful of shapes instead of one per distinct
+        tail length (an unlucky tail used to pay a multi-second XLA compile
+        mid-generation). The true count rides in as a traced limit: overshoot
+        steps execute fully masked (state frozen), and their rows are
+        trimmed from the result."""
+        run_steps = (
+            self.decode_chunk
+            if n_steps >= self.decode_chunk
+            else next_pow2(n_steps)
+        )
         self.cache, tok, done, toks = self._chunk_jit(
             self.params,
             self.cache,
@@ -277,8 +299,10 @@ class InferenceEngine:
             jnp.asarray(stop_lens, jnp.int32),
             self._next_key(),
             sampling,
-            n_steps=n_steps,
+            jnp.asarray(n_steps, jnp.int32),
+            n_steps=run_steps,
         )
+        out = np.asarray(toks)[:n_steps]
         self.stats.chunks += 1
-        self.stats.decode_tokens += int(toks.shape[0] * toks.shape[1])
-        return tok, done, np.asarray(toks)
+        self.stats.decode_tokens += int(out.shape[0] * out.shape[1])
+        return tok, done, out

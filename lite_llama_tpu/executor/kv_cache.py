@@ -11,10 +11,15 @@ TPU-native redesign (deliberate, per SURVEY.md §7): the reference allocates
 token-granular slots (block_size=1) with ``torch.nonzero`` + host loops —
 data-dependent shapes that cannot live under ``jit``. Here:
 
-- Pages of ``page_size`` tokens. Pool layout ``[L, P, 2, Hkv, ps, D]`` keeps
-  K and V for *all* kv heads of a page in one contiguous tile, so the decode
+- Pages of ``page_size`` tokens. Pool layout ``[L, T, 2, Hkv, D]`` with a
+  FLAT token axis (row = page_id * page_size + offset) keeps K and V for all
+  kv heads of a page in one contiguous [ps, 2, Hkv, D] tile, so the decode
   kernel streams a whole page (256KB for Llama-3B at ps=64) in a single DMA —
-  DMA size, not allocation granularity, is what TPU HBM bandwidth cares about.
+  DMA size, not allocation granularity, is what TPU HBM bandwidth cares
+  about. The flat axis also makes every KV write a SINGLE-dimension scatter,
+  which XLA keeps in place inside scanned decode loops — the earlier
+  (page, offset) two-axis scatter forced a full pool copy (~5 ms for a 3B
+  model) every decode step.
 - A free-page *stack* + scalar stack-top instead of a refcount scan: popping N
   pages is a gather at ``free_top - 1 - rank`` — fixed shapes, fully traceable.
 - Allocation ranks come from a cumsum over the per-request need mask, replacing
@@ -26,6 +31,7 @@ data-dependent shapes that cannot live under ``jit``. Here:
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Optional
 
@@ -37,15 +43,21 @@ def cdiv(a, b):
     return (a + b - 1) // b
 
 
-@jax.tree_util.register_dataclass
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["pages", "scales"],
+    meta_fields=["page_size"],
+)
 @dataclass
 class KVPool:
-    """The paged K/V storage: pages [L, P, 2, Hkv, ps, D] plus, when the
-    cache is INT8-quantized (beyond-reference capability), per-token-per-head
-    scales [L, P, 2, Hkv, ps] fp32. Dequant is k = pages * scale[..., None]."""
+    """The paged K/V storage: pages [L, T, 2, Hkv, D] (T = num_pages *
+    page_size, flat token rows) plus, when the cache is INT8-quantized
+    (beyond-reference capability), per-token-per-head scales [L, T, 2, Hkv]
+    fp32. Dequant is k = pages * scale[..., None]."""
 
     pages: jax.Array
     scales: Optional[jax.Array] = None
+    page_size: int = 64
 
     @property
     def quantized(self) -> bool:
@@ -56,12 +68,12 @@ class KVPool:
         return self.pages.shape
 
     @property
-    def page_size(self) -> int:
-        return self.pages.shape[4]
+    def num_tokens(self) -> int:
+        return self.pages.shape[1]
 
     @property
     def num_pages(self) -> int:
-        return self.pages.shape[1]
+        return self.pages.shape[1] // self.page_size
 
 
 def _quantize_kv(x: jax.Array):
@@ -80,7 +92,7 @@ class PagedKVCache:
     """Paged KV pool + request table + allocator state.
 
     Shapes (L=layers, Hkv=kv heads, P=num pages, ps=page size, D=head dim):
-      kv_pages   : KVPool(pages [L, P, 2, Hkv, ps, D], scales or None)
+      kv_pages   : KVPool(pages [L, P*ps, 2, Hkv, D], scales or None)
       page_table : int32 [max_reqs, pages_per_req]
       seq_lens   : int32 [max_reqs] (tokens currently stored per slot)
       free_stack : int32 [P] (free page ids; top ``free_top`` are free)
@@ -123,14 +135,17 @@ def create_kv_cache(
     quantized: bool = False,
 ) -> PagedKVCache:
     pages_per_req = cdiv(max_seq_len, page_size)
-    shape = (num_layers, num_pages, 2, num_kv_heads, page_size, head_dim)
+    shape = (num_layers, num_pages * page_size, 2, num_kv_heads, head_dim)
     if quantized:
         pool = KVPool(
             pages=jnp.zeros(shape, jnp.int8),
             scales=jnp.zeros(shape[:-1], jnp.float32),
+            page_size=page_size,
         )
     else:
-        pool = KVPool(pages=jnp.zeros(shape, dtype), scales=None)
+        pool = KVPool(
+            pages=jnp.zeros(shape, dtype), scales=None, page_size=page_size
+        )
     return PagedKVCache(
         kv_pages=pool,
         page_table=jnp.zeros((max_reqs, pages_per_req), jnp.int32),
@@ -265,23 +280,24 @@ def kv_write_prefill(
     ps = kv.page_size
     s = jnp.arange(S, dtype=jnp.int32)
     pos = start_pos[:, None] + s[None, :]  # [B, S]
-    page_slot = pos // ps
-    off = pos % ps
-    page = jnp.take_along_axis(table_rows, page_slot, axis=1)  # [B, S]
+    page = jnp.take_along_axis(table_rows, pos // ps, axis=1)  # [B, S]
+    rows = page * ps + pos % ps  # flat token rows
     valid = s[None, :] < lens[:, None]
-    page = jnp.where(valid, page, kv.num_pages)  # OOB page -> dropped
+    rows = jnp.where(valid, rows, kv.num_tokens)  # OOB row -> dropped
     val = jnp.stack([k_new, v_new], axis=2)  # [B, S, 2, Hkv, D]
     if kv.quantized:
         q, sc = _quantize_kv(val)
         return KVPool(
-            pages=kv.pages.at[layer, page, :, :, off, :].set(q, mode="drop"),
-            scales=kv.scales.at[layer, page, :, :, off].set(sc, mode="drop"),
+            pages=kv.pages.at[layer, rows].set(q, mode="drop"),
+            scales=kv.scales.at[layer, rows].set(sc, mode="drop"),
+            page_size=ps,
         )
     return KVPool(
-        pages=kv.pages.at[layer, page, :, :, off, :].set(
+        pages=kv.pages.at[layer, rows].set(
             val.astype(kv.pages.dtype), mode="drop"
         ),
         scales=None,
+        page_size=ps,
     )
 
 
@@ -297,21 +313,23 @@ def kv_write_decode(
     """Scatter one decode token per request into the pool."""
     ps = kv.page_size
     page = jnp.take_along_axis(table_rows, (pos // ps)[:, None], axis=1)[:, 0]
-    off = pos % ps
+    rows = page * ps + pos % ps  # [B]
     if active is not None:
-        page = jnp.where(active, page, kv.num_pages)  # OOB -> dropped
+        rows = jnp.where(active, rows, kv.num_tokens)  # OOB -> dropped
     val = jnp.stack([k_new, v_new], axis=1)  # [B, 2, Hkv, D]
     if kv.quantized:
         q, sc = _quantize_kv(val)
         return KVPool(
-            pages=kv.pages.at[layer, page, :, :, off, :].set(q, mode="drop"),
-            scales=kv.scales.at[layer, page, :, :, off].set(sc, mode="drop"),
+            pages=kv.pages.at[layer, rows].set(q, mode="drop"),
+            scales=kv.scales.at[layer, rows].set(sc, mode="drop"),
+            page_size=ps,
         )
     return KVPool(
-        pages=kv.pages.at[layer, page, :, :, off, :].set(
+        pages=kv.pages.at[layer, rows].set(
             val.astype(kv.pages.dtype), mode="drop"
         ),
         scales=None,
+        page_size=ps,
     )
 
 
@@ -327,23 +345,26 @@ def kv_write_decode_all(
     the layer scan. Keeping the pool read-only inside the scan lets XLA alias
     the carried pool buffer instead of ping-pong-copying it per layer
     (measured: 288ms -> ~20ms per 3B decode step). The attention kernel sees
-    the newest token as a "virtual page" (ops.paged_decode_attention k_new)."""
+    the newest token as a "virtual page" (ops.paged_decode_attention k_new).
+    The single-dim row scatter stays in place inside the scanned decode loop
+    (a (page, offset) scatter forced a ~5 ms full-pool copy per step)."""
     ps = kv.page_size
     page = jnp.take_along_axis(table_rows, (pos // ps)[:, None], axis=1)[:, 0]
-    off = pos % ps
+    rows = page * ps + pos % ps  # [B]
     if active is not None:
-        page = jnp.where(active, page, kv.num_pages)  # OOB -> dropped
-    # [L, B, 2, Hkv, D] -> [B, L, 2, Hkv, D] (advanced-index result layout)
-    val = jnp.stack([k_all, v_all], axis=2).transpose(1, 0, 2, 3, 4)
+        rows = jnp.where(active, rows, kv.num_tokens)  # OOB -> dropped
+    val = jnp.stack([k_all, v_all], axis=2)  # [L, B, 2, Hkv, D]
     if kv.quantized:
         q, sc = _quantize_kv(val)
         return KVPool(
-            pages=kv.pages.at[:, page, :, :, off, :].set(q, mode="drop"),
-            scales=kv.scales.at[:, page, :, :, off].set(sc, mode="drop"),
+            pages=kv.pages.at[:, rows].set(q, mode="drop"),
+            scales=kv.scales.at[:, rows].set(sc, mode="drop"),
+            page_size=ps,
         )
     return KVPool(
-        pages=kv.pages.at[:, page, :, :, off, :].set(
+        pages=kv.pages.at[:, rows].set(
             val.astype(kv.pages.dtype), mode="drop"
         ),
         scales=None,
+        page_size=ps,
     )

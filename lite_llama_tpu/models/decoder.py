@@ -214,7 +214,7 @@ def decoder_decode(
     B, H = h.shape
     cos, sin = _rope_tables(cfg, ctx.start_pos)  # [B, D/2]
     sm_scale = 1.0 / (cfg.head_dim**0.5)
-    max_seq = ctx.table_rows.shape[1] * kv_pages.shape[4]
+    max_seq = ctx.table_rows.shape[1] * kv_pages.page_size
 
     def layer_fn(carry, xs):
         # The pool is READ-ONLY inside the scan: each layer's new K/V rides

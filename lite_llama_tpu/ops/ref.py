@@ -135,7 +135,7 @@ def prefill_attention(
 
 
 def gather_kv_pages(
-    kv_pool,  # KVPool: pages [L, P, 2, Hkv, page, D] (+ scales when int8)
+    kv_pool,  # KVPool: pages [L, T, 2, Hkv, D] flat rows (+ scales when int8)
     layer: jax.Array | int,
     page_table: jax.Array,  # int32 [B, max_pages]
     max_seq_len: int,
@@ -145,23 +145,26 @@ def gather_kv_pages(
     dense [B, Hkv, max_seq_len, D] views (XLA fallback for the decode kernel),
     dequantizing INT8 caches on the way out.
 
-    A single fused gather over the flattened (layer, page) axis — no
+    A single fused gather over the flattened (layer, row) axis — no
     materialized per-layer slice of the pool.
     """
     pages = kv_pool.pages
-    L, P, _, Hkv, page_size, D = pages.shape
-    n = max_seq_len // page_size
+    L, T, _, Hkv, D = pages.shape
+    ps = kv_pool.page_size
+    n = max_seq_len // ps
     pt = page_table[:, :n]  # [B, n]
-    flat = layer * P + pt  # [B, n]
-    kv = pages.reshape(L * P, 2, Hkv, page_size, D)[flat]  # [B,n,2,Hkv,ps,D]
+    off = jnp.arange(ps, dtype=jnp.int32)
+    rows = (pt[:, :, None] * ps + off[None, None, :]).reshape(
+        pt.shape[0], n * ps
+    )  # [B, S]
+    flat = layer * T + rows  # [B, S]
+    kv = pages.reshape(L * T, 2, Hkv, D)[flat]  # [B, S, 2, Hkv, D]
     B = pt.shape[0]
     if kv_pool.quantized:
-        sc = kv_pool.scales.reshape(L * P, 2, Hkv, page_size)[flat]
+        sc = kv_pool.scales.reshape(L * T, 2, Hkv)[flat]
         kv = kv.astype(jnp.float32) * sc[..., None]
         kv = kv.astype(out_dtype or jnp.float32)
-    kv = kv.transpose(2, 0, 3, 1, 4, 5).reshape(
-        2, B, Hkv, n * page_size, D
-    )
+    kv = kv.transpose(2, 0, 3, 1, 4)  # [2, B, Hkv, S, D]
     return kv[0], kv[1]
 
 
@@ -186,7 +189,7 @@ def paged_decode_attention(
     """
     B, Hq, D = q.shape
     Hkv = kv_pool.shape[3]
-    page_size = kv_pool.shape[4]
+    page_size = kv_pool.page_size
     if max_seq_len is None:
         max_seq_len = page_table.shape[1] * page_size
     if sm_scale is None:

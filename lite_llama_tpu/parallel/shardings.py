@@ -79,13 +79,13 @@ class ShardingPolicy:
 
     # -- KV cache ---------------------------------------------------------
     def _cache_leaf_sharding(self, leaf):
-        """kv pages [L, P, 2, Hkv, ps, D] / scales [L, P, 2, Hkv, ps]: KV
-        heads (axis 3) over tp so decode attention is chip-local; all
-        bookkeeping arrays replicated. Dispatch by rank."""
-        if leaf.ndim == 6:
-            return self._ns(None, None, None, "tp", None, None)
+        """kv pages [L, T, 2, Hkv, D] / scales [L, T, 2, Hkv]: KV heads
+        (axis 3) over tp so decode attention is chip-local; all bookkeeping
+        arrays replicated. Dispatch by rank."""
         if leaf.ndim == 5:
             return self._ns(None, None, None, "tp", None)
+        if leaf.ndim == 4:
+            return self._ns(None, None, None, "tp")
         return self._ns(*([None] * leaf.ndim))
 
     # -- activation constraints (used inside the forward) -----------------

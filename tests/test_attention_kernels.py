@@ -24,17 +24,19 @@ def build_paged_kv(key, L, Hkv, P, ps, D, B, ppr, lens, dtype=jnp.float32,
     if quantized:
         kv_pages = KVPool(
             pages=jax.random.randint(
-                key, (L, P, 2, Hkv, ps, D), -127, 128, jnp.int8
+                key, (L, P * ps, 2, Hkv, D), -127, 128, jnp.int8
             ),
             scales=jax.random.uniform(
-                jax.random.fold_in(key, 1), (L, P, 2, Hkv, ps),
+                jax.random.fold_in(key, 1), (L, P * ps, 2, Hkv),
                 jnp.float32, 0.005, 0.02,
             ),
+            page_size=ps,
         )
     else:
         kv_pages = KVPool(
-            pages=jax.random.normal(key, (L, P, 2, Hkv, ps, D), dtype),
+            pages=jax.random.normal(key, (L, P * ps, 2, Hkv, D), dtype),
             scales=None,
+            page_size=ps,
         )
     rng = np.random.default_rng(0)
     perm = rng.permutation(P)

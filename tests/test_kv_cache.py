@@ -107,15 +107,15 @@ def test_kv_write_prefill_then_read_back():
         cache.kv_pages, 1, k_new, v_new, table_rows,
         jnp.zeros((B,), jnp.int32), lens,
     ).pages
-    # Read back token (b=1, s=3) from the pool through the table.
+    # Read back token (b=1, s=3) from the pool through the table
+    # (flat row = page * page_size + offset).
     pos = 3
-    page = int(table_rows[1, pos // 4])
-    off = pos % 4
+    row = int(table_rows[1, pos // 4]) * 4 + pos % 4
     np.testing.assert_allclose(
-        np.asarray(kv[1, page, 0, :, off, :]), np.asarray(k_new[1, 3])
+        np.asarray(kv[1, row, 0]), np.asarray(k_new[1, 3])
     )
     np.testing.assert_allclose(
-        np.asarray(kv[1, page, 1, :, off, :]), np.asarray(v_new[1, 3])
+        np.asarray(kv[1, row, 1]), np.asarray(v_new[1, 3])
     )
     # Layer 0 untouched.
     assert float(jnp.sum(jnp.abs(kv[0]))) == 0.0
@@ -139,8 +139,8 @@ def test_kv_write_decode_and_inactive_drop():
     kv = kv_write_decode(
         cache.kv_pages, 0, k_new, k_new, table_rows, pos, active
     ).pages
-    page0 = int(table_rows[0, 1])
-    np.testing.assert_allclose(np.asarray(kv[0, page0, 0, :, 0, :]), 7.0)
+    row0 = int(table_rows[0, 1]) * 4  # offset 0 of req0's second page
+    np.testing.assert_allclose(np.asarray(kv[0, row0, 0]), 7.0)
     # Inactive request wrote nothing anywhere (K and V halves both written
     # for the active one).
     assert float(jnp.sum(jnp.abs(kv))) == pytest.approx(2 * 7.0 * Hkv * D)
