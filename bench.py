@@ -52,12 +52,13 @@ def main():
     rng = np.random.default_rng(0)
     params = init_decoder_params(cfg, jax.random.PRNGKey(0))
     quant = os.environ.get("BENCH_QUANT", "")
-    kv_quant = os.environ.get("BENCH_KV_QUANT") == "1"
+    kv_env = os.environ.get("BENCH_KV_QUANT", "")
+    kv_quant = {"1": True, "int8": True, "fp8": "fp8"}.get(kv_env, False)
     if quant:
         from lite_llama_tpu.quant.qtensor import quantize_decoder_params
 
         qdtype = jnp.int8 if quant == "int8" else jnp.float8_e4m3fn
-        params = quantize_decoder_params(params, qdtype)
+        params = quantize_decoder_params(params, qdtype, drop_originals=True)
     num_pages = bs * ((prompt_len + gen_len + page_size) // page_size + 1) + 16
     engine = InferenceEngine(
         cfg,
@@ -91,7 +92,7 @@ def main():
     tps = total_out / dt
     ms_per_tok = 1000.0 * dt / max(total_out, 1)
     tag = f" w{quant}" if quant else ""
-    tag += " kv8" if kv_quant else ""
+    tag += f" kv-{'fp8' if kv_quant == 'fp8' else 'int8'}" if kv_quant else ""
     result = {
         "metric": f"tokens/s {model}{tag} bs={bs} gen={gen_len} ({jax.default_backend()})",
         "value": round(tps, 2),

@@ -1,0 +1,173 @@
+"""Kernel micro-benchmarks: Pallas kernels vs naive-XLA references.
+
+Capability parity with the reference's kernel benchmark harness
+(/root/reference/tests/kernels/kernels_benchmark.py:29-327, perf_report grids
+of Triton vs torch) — TPU edition: each engine op is timed against the
+naive jnp implementation in ops/ref.py on a sweep of shapes, reporting
+ms and effective GB/s. Prints a table and writes benchmarks/kernels_bench.json.
+
+Run on the TPU:  python benchmarks/kernels_bench.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import lite_llama_tpu.ops as ops
+import lite_llama_tpu.ops.ref as ref
+from lite_llama_tpu.executor.kv_cache import KVPool
+from lite_llama_tpu.ops.attention_decode import paged_flash_decode
+from lite_llama_tpu.ops.attention_prefill import flash_prefill
+
+
+def timeit(fn, *args, iters=20, **kw):
+    """Median wall ms. Uses per-iteration folded inputs where provided as
+    callables so the runtime can't dedupe identical dispatches."""
+    out = fn(*args, **kw)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args, **kw)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times) * 1000)
+
+
+def bench_norms(results, quick):
+    rows = [4096] if quick else [1024, 4096, 16384]
+    H = 4096
+    for R in rows:
+        x = jax.random.normal(jax.random.PRNGKey(0), (R, H), jnp.bfloat16)
+        res = jnp.zeros_like(x)
+        w = jnp.ones((H,), jnp.bfloat16)
+        gb = 2 * R * H * 2 * 2 / 1e9  # read x+res, write out+res
+        t_k = timeit(jax.jit(lambda x, r, w: ops.skip_rms_norm(x, r, w)), x, res, w)
+        t_r = timeit(jax.jit(lambda x, r, w: ref.skip_rms_norm(x, r, w)), x, res, w)
+        results.append(
+            dict(op="skip_rms_norm", shape=f"[{R},{H}]", pallas_ms=t_k,
+                 ref_ms=t_r, gbps=round(gb / (t_k / 1000), 1))
+        )
+
+
+def bench_swiglu(results, quick):
+    rows = [4096] if quick else [1024, 4096, 16384]
+    I = 8192
+    for R in rows:
+        g = jax.random.normal(jax.random.PRNGKey(0), (R, I), jnp.bfloat16)
+        u = jax.random.normal(jax.random.PRNGKey(1), (R, I), jnp.bfloat16)
+        gb = 3 * R * I * 2 / 1e9
+        t_k = timeit(jax.jit(lambda g, u: ops.swiglu(g, u)), g, u)
+        t_r = timeit(jax.jit(lambda g, u: ref.swiglu(g, u)), g, u)
+        results.append(
+            dict(op="swiglu", shape=f"[{R},{I}]", pallas_ms=t_k, ref_ms=t_r,
+                 gbps=round(gb / (t_k / 1000), 1))
+        )
+
+
+def _mk_pool(L, P, Hkv, ps, D, B, seq, dtype=jnp.bfloat16, quantized=False):
+    key = jax.random.PRNGKey(0)
+    T = P * ps
+    if quantized:
+        pool = KVPool(
+            pages=jax.random.randint(key, (L, T, 2, Hkv, D), -127, 128, jnp.int8),
+            scales=jnp.full((L, T, 2, Hkv), 0.01, jnp.float32),
+            page_size=ps,
+        )
+    else:
+        pool = KVPool(
+            pages=jax.random.normal(key, (L, T, 2, Hkv, D), dtype),
+            scales=None, page_size=ps,
+        )
+    ppr = (seq + ps - 1) // ps + 1
+    table = np.zeros((B, ppr), np.int32)
+    perm = np.random.default_rng(0).permutation(P)
+    idx = 0
+    for b in range(B):
+        n = (seq + ps - 1) // ps
+        table[b, :n] = perm[idx:idx + n]
+        idx += n
+    return pool, jnp.asarray(table)
+
+
+def bench_decode_attention(results, quick):
+    L, Hkv, Nq, D, ps = 1, 8, 24, 128, 64
+    seqs = [1024] if quick else [256, 1024, 2048]
+    for quantized in ([False] if quick else [False, True]):
+        for seq in seqs:
+            B = 12
+            P = B * ((seq + ps - 1) // ps) + 2
+            pool, table = _mk_pool(L, P, Hkv, ps, D, B, seq, quantized=quantized)
+            q = jax.random.normal(jax.random.PRNGKey(2), (B, Nq, D), jnp.bfloat16)
+            lens = jnp.full((B,), seq, jnp.int32)
+            itemsize = 1 if quantized else 2
+            gb = B * seq * 2 * Hkv * D * itemsize / 1e9
+            t_k = timeit(
+                lambda q: paged_flash_decode(q, pool, 0, table, lens, sm_scale=0.088),
+                q,
+            )
+            t_r = timeit(
+                jax.jit(lambda q: ref.paged_decode_attention(
+                    q, pool, 0, table, lens, table.shape[1] * ps, 0.088)),
+                q,
+            )
+            tag = "int8" if quantized else "bf16"
+            results.append(
+                dict(op=f"paged_decode_attn[{tag}]", shape=f"B{B} seq{seq}",
+                     pallas_ms=t_k, ref_ms=t_r,
+                     gbps=round(gb / (t_k / 1000), 1))
+            )
+
+
+def bench_prefill_attention(results, quick):
+    Nq, Hkv, D = 24, 8, 128
+    seqs = [512] if quick else [256, 512, 1024]
+    for S in seqs:
+        B = 4
+        q = jax.random.normal(jax.random.PRNGKey(0), (B, S, Nq, D), jnp.bfloat16)
+        k = jax.random.normal(jax.random.PRNGKey(1), (B, S, Hkv, D), jnp.bfloat16)
+        v = jax.random.normal(jax.random.PRNGKey(2), (B, S, Hkv, D), jnp.bfloat16)
+        lens = jnp.full((B,), S, jnp.int32)
+        flops = 4 * B * Nq * S * S * D / 2  # causal
+        t_k = timeit(jax.jit(lambda q, k, v: flash_prefill(q, k, v, lens, 0.088)),
+                     q, k, v)
+        t_r = timeit(jax.jit(lambda q, k, v: ref.prefill_attention(q, k, v, lens, 0.088)),
+                     q, k, v)
+        results.append(
+            dict(op="flash_prefill", shape=f"B{B} S{S}", pallas_ms=t_k,
+                 ref_ms=t_r, tflops=round(flops / (t_k / 1000) / 1e12, 2))
+        )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    print(f"backend: {jax.default_backend()}")
+    results = []
+    bench_norms(results, args.quick)
+    bench_swiglu(results, args.quick)
+    bench_decode_attention(results, args.quick)
+    bench_prefill_attention(results, args.quick)
+    hdr = f"{'op':26s} {'shape':14s} {'pallas ms':>10s} {'ref ms':>10s} {'speedup':>8s} {'GB/s|TF':>9s}"
+    print(hdr)
+    print("-" * len(hdr))
+    for r in results:
+        extra = r.get("gbps", r.get("tflops", ""))
+        print(
+            f"{r['op']:26s} {r['shape']:14s} {r['pallas_ms']:10.3f} "
+            f"{r['ref_ms']:10.3f} {r['ref_ms'] / r['pallas_ms']:8.2f} {extra:>9}"
+        )
+    with open("benchmarks/kernels_bench.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print("written benchmarks/kernels_bench.json")
+
+
+if __name__ == "__main__":
+    main()

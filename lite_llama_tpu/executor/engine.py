@@ -68,7 +68,7 @@ class InferenceEngine:
         num_pages: Optional[int] = None,
         hbm_util: float = 0.9,
         decode_chunk: int = 32,
-        kv_quant: bool = False,
+        kv_quant=False,  # False | True/'int8' | 'fp8' (scale-free e4m3)
         forward_prefill=None,
         forward_decode=None,
         mesh=None,

@@ -187,15 +187,24 @@ def _decode_kernel(
             for c in block_copies(b, it, slot):
                 c.wait()
 
-            k = kv_buf[slot, :, :, 0].reshape(Wp, D)  # [(f t h), D]
-            v = kv_buf[slot, :, :, 1].reshape(Wp, D)
+            if quantized:
+                # Dequantize the whole [UNROLL, ps, 2, Hkv, D] tile with one
+                # broadcast multiply in its NATURAL layout, then collapse the
+                # leading dims. (A flat [Wp] scale vector would need a
+                # lane-relayout reshape Mosaic rejects: "unsupported shape
+                # cast".) bf16 holds int8 exactly; scales fold in fp32.
+                kvt = (
+                    kv_buf[slot].astype(jnp.float32)
+                    * sc_buf[slot][..., None]
+                ).astype(mat_dtype)
+            else:
+                kvt = kv_buf[slot]
+            k = kvt[:, :, 0].reshape(Wp, D)  # [(f t h), D]
+            v = kvt[:, :, 1].reshape(Wp, D)
             s = jax.lax.dot_general(
                 q, k.astype(mat_dtype), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [Nq, Wp] — cross-head blocks are junk, masked next
-            if quantized:
-                sk = sc_buf[slot, :, :, 0].reshape(Wp)
-                s = s * sk[None, :]
             valid = head_ok & (it * bk + pos_base < length)
             s = jnp.where(valid, s, NEG_INF)
 
@@ -203,13 +212,8 @@ def _decode_kernel(
             p = jnp.exp2(s - m_new)  # [Nq, Wp]; junk/pad cols -> 0
             corr = jnp.exp2(m - m_new)
             l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
-            if quantized:
-                sv = sc_buf[slot, :, :, 1].reshape(Wp)
-                p_v = (p * sv[None, :]).astype(mat_dtype)
-                v_mat = v.astype(mat_dtype)
-            else:
-                p_v = p.astype(v.dtype)
-                v_mat = v
+            p_v = p.astype(v.dtype)
+            v_mat = v
             pv = jax.lax.dot_general(
                 p_v, v_mat, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,

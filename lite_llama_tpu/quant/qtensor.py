@@ -4,10 +4,14 @@ Beyond-reference capability (the reference's quantization is vestigial: a dead
 CLI arg at generate.py:50 and an unused int8-KV kernel under kernels/others/ —
 SURVEY.md §2.6). Design:
 
-- ``QTensor`` is a pytree (q, scale): ``q`` int8 or float8_e4m3fn, ``scale``
-  fp32 shaped exactly like the weight's OUTPUT dims (contraction axes
-  removed), so after ``y = x @ q`` the scale broadcasts onto y's trailing
-  dims directly.
+- ``QTensor`` is a pytree (q, scale): ``q`` int8 or float8_e4m3fn stored as
+  a 2-D-per-layer matrix ``[*stack, C, O]`` (contraction dims flattened to
+  C, output dims to O) with ``scale`` fp32 ``[*stack, O]``. The flattening
+  matters on TPU: sub-byte-tiled dtypes pad the second-to-last dim to the
+  sublane tile (32 rows for int8/fp8), so a logical ``[H, 2, I]`` gate/up
+  weight stored 4-D would physically bloat several-fold in HBM — measured as
+  hard OOMs on a 3B model that nominally uses a quarter of the chip. With
+  [C, O] storage both trailing dims are large and tiling is free.
 - ``quantize_decoder_params`` quantizes the big projection matrices
   (wq/wkv/o_proj/gate_up/down, untied lm_head); norms, biases and the
   embedding stay high-precision (the embedding is a gather; quantizing it
@@ -24,6 +28,7 @@ SURVEY.md §2.6). Design:
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Any, Tuple
 
@@ -36,15 +41,21 @@ import jax.numpy as jnp
 class QTensor:
     """Quantized weight + per-output-channel scale.
 
-    q: [*shape]; scale: fp32 [*out_dims] (q.shape minus contract_axes).
-    ``contract_axes`` (static) are the contraction axes of the UNSLICED
-    stacked tensor — used only by ``dequant`` on the full tree.
+    q: [*stack, C, O] (contraction dims flattened to C, out dims to O);
+    scale: fp32 [*stack, O]. ``unit_shape`` (static) is the logical
+    per-layer shape (contract dims + out dims, stack axes excluded) used to
+    restore the original view in ``dequant``; ``out_shape`` (static) is the
+    logical output-dims tuple qeinsum reshapes results to. Slicing the layer
+    axis under ``lax.scan`` keeps both statics intact.
     """
 
     q: jax.Array
     scale: jax.Array
-    contract_axes: Tuple[int, ...] = field(
-        default=(0,), metadata=dict(static=True)
+    unit_shape: Tuple[int, ...] = field(
+        default=(), metadata=dict(static=True)
+    )
+    out_shape: Tuple[int, ...] = field(
+        default=(), metadata=dict(static=True)
     )
 
     @property
@@ -56,49 +67,103 @@ class QTensor:
         return self.q.ndim
 
     def dequant(self, dtype=jnp.bfloat16) -> jax.Array:
-        s = self.scale
-        for ax in sorted(self.contract_axes):
-            s = jnp.expand_dims(s, ax)
-        return (self.q.astype(jnp.float32) * s).astype(dtype)
+        w = self.q.astype(jnp.float32) * self.scale[..., None, :]
+        return w.reshape(*self.q.shape[:-2], *self.unit_shape).astype(dtype)
 
 
 def quantize(w: jax.Array, contract_axes, qdtype=jnp.int8) -> QTensor:
-    """Symmetric per-output-channel quantization over ``contract_axes``."""
+    """Symmetric per-output-channel quantization over ``contract_axes``.
+
+    ``contract_axes`` must be contiguous, preceded only by stack axes and
+    followed only by output axes (true for every decoder weight) — the
+    result is stored flattened to [*stack, C, O]."""
     contract_axes = tuple(
-        ax % w.ndim for ax in (
-            contract_axes if isinstance(contract_axes, (tuple, list))
-            else (contract_axes,)
+        sorted(
+            ax % w.ndim
+            for ax in (
+                contract_axes
+                if isinstance(contract_axes, (tuple, list))
+                else (contract_axes,)
+            )
         )
     )
-    wf = w.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(wf), axis=contract_axes, keepdims=True)
-    if qdtype == jnp.int8:
-        scale = jnp.maximum(amax, 1e-8) / 127.0
-        q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
-    else:  # fp8 e4m3: max finite 448
-        scale = jnp.maximum(amax, 1e-8) / 448.0
-        q = (wf / scale).astype(jnp.float8_e4m3fn)
+    first, last = contract_axes[0], contract_axes[-1]
+    assert contract_axes == tuple(range(first, last + 1)), contract_axes
+    stack = w.shape[:first]
+    C = 1
+    for ax in contract_axes:
+        C *= w.shape[ax]
+    out_shape = w.shape[last + 1 :]
+    O = 1
+    for d in out_shape:
+        O *= d
+
+    w2 = w.reshape(*stack, C, O)
+    # The fp32 math runs JITTED and per-stack-slice: quantizing a stacked 3B
+    # gate/up weight eagerly materializes several full fp32 intermediates
+    # (~5.7 GB each) whose async OOM surfaces much later at an unrelated
+    # sync point — a genuinely nasty failure mode. lax.map keeps the
+    # transient at one layer's worth.
+    q, scale = _quantize_2d_stacked(w2, jnp.dtype(qdtype).name, bool(stack))
     return QTensor(
         q=q,
-        scale=jnp.squeeze(scale, axis=contract_axes),
-        contract_axes=contract_axes,
+        scale=scale,
+        unit_shape=tuple(w.shape[first:]),
+        out_shape=tuple(out_shape),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("qdtype_name", "stacked"))
+def _quantize_2d_stacked(w2, qdtype_name: str, stacked: bool):
+    def one(w):  # [C, O]
+        wf = w.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(wf), axis=0, keepdims=True)
+        if qdtype_name == "int8":
+            scale = jnp.maximum(amax, 1e-8) / 127.0
+            q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+        else:  # fp8 e4m3: max finite 448
+            scale = jnp.maximum(amax, 1e-8) / 448.0
+            q = (wf / scale).astype(jnp.float8_e4m3fn)
+        return q, scale[0]
+
+    if stacked:
+        flat = w2.reshape(-1, *w2.shape[-2:])
+        q, scale = jax.lax.map(one, flat)
+        return (
+            q.reshape(*w2.shape[:-2], *q.shape[-2:]),
+            scale.reshape(*w2.shape[:-2], scale.shape[-1]),
+        )
+    return one(w2)
 
 
 def qeinsum(pattern: str, x: jax.Array, w: Any, out_dtype=None) -> jax.Array:
     """einsum that accepts a plain array or a QTensor for ``w``.
 
-    For QTensor the dot runs on the raw quantized values and the per-channel
-    scale multiplies the result (exact: scales are constant along the
-    contraction). Requires the einsum's output trailing dims to be exactly
-    the weight's out dims (true for every decoder projection).
+    For QTensor the op ignores the pattern string and runs the flattened
+    2-D matmul directly: x's trailing dims are collapsed to the stored
+    contraction width C, the dot runs on the raw quantized values, the
+    per-channel scale multiplies the result (exact: scales are constant
+    along the contraction), and the output is reshaped to the weight's
+    logical out dims. Requires the einsum's output trailing dims to be
+    exactly the weight's out dims (true for every decoder projection).
     """
     if isinstance(w, QTensor):
         dt = out_dtype or x.dtype
-        y = jnp.einsum(
-            pattern, x, w.q.astype(dt), preferred_element_type=jnp.float32
+        C = w.q.shape[-1 - 1]
+        k, prod = 0, 1
+        while prod != C:
+            k += 1
+            assert k <= x.ndim, (x.shape, C)
+            prod *= x.shape[-k]
+        batch = x.shape[: x.ndim - k]
+        y = jax.lax.dot_general(
+            x.reshape(*batch, C),
+            w.q.astype(dt),
+            (((len(batch),), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        return (y * w.scale).astype(dt)
+        y = y * w.scale
+        return y.reshape(*batch, *w.out_shape).astype(dt)
     return jnp.einsum(pattern, x, w)
 
 
@@ -113,17 +178,28 @@ _LAYER_QUANT_AXES = {
 }
 
 
-def quantize_decoder_params(params: dict, qdtype=jnp.int8) -> dict:
+def quantize_decoder_params(
+    params: dict, qdtype=jnp.int8, drop_originals: bool = False
+) -> dict:
     """Quantize the projection matrices of a decoder param tree (returns a
-    new tree; norms/biases/embed untouched)."""
+    new tree; norms/biases/embed untouched).
+
+    ``drop_originals=True`` MUTATES the input tree, releasing each bf16
+    weight as soon as its quantized replacement exists — halving peak HBM
+    during on-device quantization of a model that barely fits twice."""
     out = dict(params)
-    layers = dict(params["layers"])
+    layers = params["layers"] if drop_originals else dict(params["layers"])
     for key, axes in _LAYER_QUANT_AXES.items():
         if key in layers:
-            layers[key] = quantize(layers[key], axes, qdtype)
+            w = layers.pop(key) if drop_originals else layers[key]
+            layers[key] = quantize(w, axes, qdtype)
+            if drop_originals:
+                jax.block_until_ready(layers[key].q)
+                del w
     out["layers"] = layers
     if "lm_head" in params:
-        out["lm_head"] = quantize(params["lm_head"], (0,), qdtype)
+        w = params.pop("lm_head") if drop_originals else params["lm_head"]
+        out["lm_head"] = quantize(w, (0,), qdtype)
     return out
 
 

@@ -41,7 +41,8 @@ def test_qeinsum_matches_dequant(qdtype):
     x = jax.random.normal(jax.random.PRNGKey(1), (5, 32), jnp.float32)
     qt = quantize(w, (0,), qdtype)
     assert qt.q.dtype == qdtype
-    assert qt.scale.shape == (4, 16)
+    assert qt.scale.shape == (64,)  # flat out-channel scales
+    assert qt.q.shape == (32, 64)  # [C, O] storage
     got = qeinsum("bh,hnd->bnd", x, qt)
     want = jnp.einsum("bh,hnd->bnd", x, qt.dequant(jnp.float32))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
