@@ -74,16 +74,18 @@ def bench_swiglu(results, quick):
 def _mk_pool(L, P, Hkv, ps, D, B, seq, dtype=jnp.bfloat16, quantized=False):
     key = jax.random.PRNGKey(0)
     T = P * ps
-    if quantized:
+    meta = dict(page_size=ps, num_kv_heads=Hkv, head_dim=D)
+    shape = (L, 2, T, Hkv * D)
+    if quantized:  # fp8, scale-free (the TPU quantized-KV mode)
         pool = KVPool(
-            pages=jax.random.randint(key, (L, T, 2, Hkv, D), -127, 128, jnp.int8),
-            scales=jnp.full((L, T, 2, Hkv), 0.01, jnp.float32),
-            page_size=ps,
+            pages=jax.random.normal(key, shape, jnp.float32)
+            .astype(jnp.float8_e4m3fn),
+            scales=None, **meta,
         )
     else:
         pool = KVPool(
-            pages=jax.random.normal(key, (L, T, 2, Hkv, D), dtype),
-            scales=None, page_size=ps,
+            pages=jax.random.normal(key, shape, dtype),
+            scales=None, **meta,
         )
     ppr = (seq + ps - 1) // ps + 1
     table = np.zeros((B, ppr), np.int32)
@@ -117,7 +119,7 @@ def bench_decode_attention(results, quick):
                     q, pool, 0, table, lens, table.shape[1] * ps, 0.088)),
                 q,
             )
-            tag = "int8" if quantized else "bf16"
+            tag = "fp8" if quantized else "bf16"
             results.append(
                 dict(op=f"paged_decode_attn[{tag}]", shape=f"B{B} seq{seq}",
                      pallas_ms=t_k, ref_ms=t_r,

@@ -11,15 +11,20 @@ TPU-native redesign (deliberate, per SURVEY.md §7): the reference allocates
 token-granular slots (block_size=1) with ``torch.nonzero`` + host loops —
 data-dependent shapes that cannot live under ``jit``. Here:
 
-- Pages of ``page_size`` tokens. Pool layout ``[L, T, 2, Hkv, D]`` with a
-  FLAT token axis (row = page_id * page_size + offset) keeps K and V for all
-  kv heads of a page in one contiguous [ps, 2, Hkv, D] tile, so the decode
-  kernel streams a whole page (256KB for Llama-3B at ps=64) in a single DMA —
+- Pages of ``page_size`` tokens. Pool layout ``[L, 2, T, Hkv*D]``: separate
+  K and V planes, a FLAT token axis (row = page_id * page_size + offset) and
+  a FLAT (head, dim) channel axis. One page-half is one contiguous
+  [ps, Hkv*D] tile (128KB for Llama-3B at ps=64) fetched in a single DMA —
   DMA size, not allocation granularity, is what TPU HBM bandwidth cares
-  about. The flat axis also makes every KV write a SINGLE-dimension scatter,
-  which XLA keeps in place inside scanned decode loops — the earlier
-  (page, offset) two-axis scatter forced a full pool copy (~5 ms for a 3B
-  model) every decode step.
+  about. The flat token axis makes every KV write a SINGLE-dimension scatter,
+  which XLA keeps in place inside scanned decode loops — a (page, offset)
+  two-axis scatter forced a full pool copy (~5 ms for a 3B model) every
+  decode step. Both trailing dims are tile-sized for EVERY dtype: pools
+  storing [.., Hkv, D] tiles pad the 8-row head dim to the 32-row sub-byte
+  tile, physically inflating (and slowing) int8/fp8 pools 4x; interleaving
+  K/V per token (.., 2, Hkv*D) pads the 2-row half dim the same way. The
+  head-major channel axis means a tensor-parallel shard of the last axis is
+  exactly a contiguous group of heads.
 - A free-page *stack* + scalar stack-top instead of a refcount scan: popping N
   pages is a gather at ``free_top - 1 - rank`` — fixed shapes, fully traceable.
 - Allocation ranks come from a cumsum over the per-request need mask, replacing
@@ -46,18 +51,20 @@ def cdiv(a, b):
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["pages", "scales"],
-    meta_fields=["page_size"],
+    meta_fields=["page_size", "num_kv_heads", "head_dim"],
 )
 @dataclass
 class KVPool:
-    """The paged K/V storage: pages [L, T, 2, Hkv, D] (T = num_pages *
-    page_size, flat token rows) plus, when the cache is INT8-quantized
-    (beyond-reference capability), per-token-per-head scales [L, T, 2, Hkv]
-    fp32. Dequant is k = pages * scale[..., None]."""
+    """The paged K/V storage: pages [L, 2, T, Hkv*D] (K/V planes, flat token
+    rows, flat head-major channels) plus, when the cache is INT8-quantized
+    (beyond-reference capability), per-token scales [L, T, 2, Hkv] fp32.
+    Dequant is row.reshape(Hkv, D) * scale."""
 
     pages: jax.Array
     scales: Optional[jax.Array] = None
     page_size: int = 64
+    num_kv_heads: int = 8
+    head_dim: int = 128
 
     @property
     def quantized(self) -> bool:
@@ -69,11 +76,11 @@ class KVPool:
 
     @property
     def num_tokens(self) -> int:
-        return self.pages.shape[1]
+        return self.pages.shape[2]
 
     @property
     def num_pages(self) -> int:
-        return self.pages.shape[1] // self.page_size
+        return self.pages.shape[2] // self.page_size
 
 
 def _quantize_kv(x: jax.Array):
@@ -84,6 +91,38 @@ def _quantize_kv(x: jax.Array):
         jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
     ).astype(jnp.int8)
     return q, scale
+
+
+def _kv_row_scatter(kv: "KVPool", grows: jax.Array, val: jax.Array) -> jax.Array:
+    """Scatter value rows into the pool through a flat [(2L*T), Hkv*D] view.
+
+    ``grows``: global row indices (2*layer + half)*T + token_row, any shape;
+    OOB (== 2L*T) rows are dropped. ``val``: [..., Hkv, D] matching grows'
+    shape. A single-dimension scatter on dim 0 is the only scatter form XLA
+    reliably keeps IN PLACE on a while-loop carry — per-axis forms like
+    ``pages.at[:, :, rows]`` silently copy the full pool (measured ~5 ms per
+    decode step for a 3B model)."""
+    HD = kv.pages.shape[-1]
+    flat = kv.pages.reshape(-1, HD)
+    out = flat.at[grows.reshape(-1)].set(
+        _cast_kv(val, kv.pages.dtype).reshape(-1, HD), mode="drop"
+    )
+    return out.reshape(kv.pages.shape)
+
+
+def _global_rows(kv: "KVPool", layer, rows: jax.Array, valid=None) -> jax.Array:
+    """[(2*layer + half)*T + row] for half in (K, V): returns [2, *rows.shape]
+    int32, with invalid positions routed to the OOB sentinel 2L*T."""
+    T = kv.num_tokens
+    total = kv.pages.shape[0] * 2 * T
+    half = jnp.arange(2, dtype=jnp.int32).reshape(2, *([1] * rows.ndim))
+    g = (2 * jnp.asarray(layer, jnp.int32) + half) * T + rows[None]
+    # Per-plane OOB sentinels (row == T) must globalize to the flat-view OOB,
+    # or they alias row 0 of the NEXT plane.
+    g = jnp.where(rows[None] >= T, total, g)
+    if valid is not None:
+        g = jnp.where(valid[None], g, total)
+    return g
 
 
 def _cast_kv(x: jax.Array, dtype) -> jax.Array:
@@ -145,25 +184,27 @@ def create_kv_cache(
     per-(token, half, head) fp32 scales), or 'fp8' (float8_e4m3, scale-free —
     e4m3's ±448 dynamic range covers K/V activations directly, halving KV
     traffic with no scale side-band; the decode kernel's dequant is then a
-    plain dtype cast)."""
+    plain dtype cast). Caveat measured on v5e: fp8->bf16 converts are
+    emulated (no native fp8 datapath), costing ~5x more than the saved
+    bandwidth — use fp8 KV on fp8-native TPU generations (v6e+); on v5e
+    prefer bf16 KV (or int8 KV via the XLA path when HBM-bound)."""
     pages_per_req = cdiv(max_seq_len, page_size)
-    shape = (num_layers, num_pages * page_size, 2, num_kv_heads, head_dim)
+    T = num_pages * page_size
+    shape = (num_layers, 2, T, num_kv_heads * head_dim)
+    meta = dict(page_size=page_size, num_kv_heads=num_kv_heads,
+                head_dim=head_dim)
     if quantized == "fp8":
         pool = KVPool(
-            pages=jnp.zeros(shape, jnp.float8_e4m3fn),
-            scales=None,
-            page_size=page_size,
+            pages=jnp.zeros(shape, jnp.float8_e4m3fn), scales=None, **meta
         )
     elif quantized:
         pool = KVPool(
             pages=jnp.zeros(shape, jnp.int8),
-            scales=jnp.zeros(shape[:-1], jnp.float32),
-            page_size=page_size,
+            scales=jnp.zeros((num_layers, T, 2, num_kv_heads), jnp.float32),
+            **meta,
         )
     else:
-        pool = KVPool(
-            pages=jnp.zeros(shape, dtype), scales=None, page_size=page_size
-        )
+        pool = KVPool(pages=jnp.zeros(shape, dtype), scales=None, **meta)
     return PagedKVCache(
         kv_pages=pool,
         page_table=jnp.zeros((max_reqs, pages_per_req), jnp.int32),
@@ -302,20 +343,22 @@ def kv_write_prefill(
     rows = page * ps + pos % ps  # flat token rows
     valid = s[None, :] < lens[:, None]
     rows = jnp.where(valid, rows, kv.num_tokens)  # OOB row -> dropped
-    val = jnp.stack([k_new, v_new], axis=2)  # [B, S, 2, Hkv, D]
+    val = jnp.stack([k_new, v_new], axis=0)  # [2, B, S, Hkv, D]
+    grows = _global_rows(kv, layer, rows)  # [2, B, S]
+    meta = dict(page_size=ps, num_kv_heads=kv.num_kv_heads,
+                head_dim=kv.head_dim)
     if kv.quantized:
-        q, sc = _quantize_kv(val)
+        q, sc = _quantize_kv(jnp.moveaxis(val, 0, -3))
+        qp = jnp.moveaxis(q, -3, 0)  # [2, B, S, Hkv, D]
         return KVPool(
-            pages=kv.pages.at[layer, rows].set(q, mode="drop"),
+            pages=_kv_row_scatter(kv, grows, qp),
             scales=kv.scales.at[layer, rows].set(sc, mode="drop"),
-            page_size=ps,
+            **meta,
         )
     return KVPool(
-        pages=kv.pages.at[layer, rows].set(
-            _cast_kv(val, kv.pages.dtype), mode="drop"
-        ),
+        pages=_kv_row_scatter(kv, grows, val),
         scales=None,
-        page_size=ps,
+        **meta,
     )
 
 
@@ -334,20 +377,21 @@ def kv_write_decode(
     rows = page * ps + pos % ps  # [B]
     if active is not None:
         rows = jnp.where(active, rows, kv.num_tokens)  # OOB -> dropped
-    val = jnp.stack([k_new, v_new], axis=1)  # [B, 2, Hkv, D]
+    val = jnp.stack([k_new, v_new], axis=0)  # [2, B, Hkv, D]
+    grows = _global_rows(kv, layer, rows)  # [2, B]
+    meta = dict(page_size=ps, num_kv_heads=kv.num_kv_heads,
+                head_dim=kv.head_dim)
     if kv.quantized:
-        q, sc = _quantize_kv(val)
+        q, sc = _quantize_kv(jnp.moveaxis(val, 0, -3))
         return KVPool(
-            pages=kv.pages.at[layer, rows].set(q, mode="drop"),
+            pages=_kv_row_scatter(kv, grows, jnp.moveaxis(q, -3, 0)),
             scales=kv.scales.at[layer, rows].set(sc, mode="drop"),
-            page_size=ps,
+            **meta,
         )
     return KVPool(
-        pages=kv.pages.at[layer, rows].set(
-            _cast_kv(val, kv.pages.dtype), mode="drop"
-        ),
+        pages=_kv_row_scatter(kv, grows, val),
         scales=None,
-        page_size=ps,
+        **meta,
     )
 
 
@@ -371,18 +415,27 @@ def kv_write_decode_all(
     rows = page * ps + pos % ps  # [B]
     if active is not None:
         rows = jnp.where(active, rows, kv.num_tokens)  # OOB -> dropped
-    val = jnp.stack([k_all, v_all], axis=2)  # [L, B, 2, Hkv, D]
+    T = kv.num_tokens
+    L = k_all.shape[0]
+    val = jnp.stack([k_all, v_all], axis=1)  # [L, 2, B, Hkv, D]
+    half = jnp.arange(2, dtype=jnp.int32)
+    lidx = jnp.arange(L, dtype=jnp.int32)
+    grows = (
+        (2 * lidx[:, None, None] + half[None, :, None]) * T + rows[None, None]
+    )  # [L, 2, B]
+    grows = jnp.where(rows[None, None] >= T, L * 2 * T, grows)
+    meta = dict(page_size=ps, num_kv_heads=kv.num_kv_heads,
+                head_dim=kv.head_dim)
     if kv.quantized:
-        q, sc = _quantize_kv(val)
+        qv = jnp.stack([k_all, v_all], axis=-3)  # [L, B, 2, Hkv, D]
+        q, sc = _quantize_kv(qv)
         return KVPool(
-            pages=kv.pages.at[:, rows].set(q, mode="drop"),
+            pages=_kv_row_scatter(kv, grows, jnp.moveaxis(q, -3, 1)),
             scales=kv.scales.at[:, rows].set(sc, mode="drop"),
-            page_size=ps,
+            **meta,
         )
     return KVPool(
-        pages=kv.pages.at[:, rows].set(
-            _cast_kv(val, kv.pages.dtype), mode="drop"
-        ),
+        pages=_kv_row_scatter(kv, grows, val),
         scales=None,
-        page_size=ps,
+        **meta,
     )

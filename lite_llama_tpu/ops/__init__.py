@@ -66,7 +66,10 @@ def paged_decode_attention(
     q, kv_pool, layer, page_table, seq_lens,
     max_seq_len=None, sm_scale=None, k_new=None, v_new=None,
 ):
-    if _use_pallas():
+    # INT8+scales pools use the XLA gather path (a flat per-column scale
+    # vector is not expressible in Mosaic's vector layouts); bf16 and
+    # scale-free fp8 pools ride the Pallas kernel.
+    if _use_pallas() and not kv_pool.quantized:
         from . import attention_decode
 
         return attention_decode.paged_flash_decode(

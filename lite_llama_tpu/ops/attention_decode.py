@@ -6,12 +6,15 @@ table. Functional equivalent of the reference's two-stage split-KV Triton
 flash decoding (/root/reference/lite_llama/kernels/flashdecoding.py:7-299,
 gather-through-indirection at :84-89), re-designed for TPU bandwidth:
 
-- Pool layout [L, T, 2, Hkv, D] (flat token rows; one page = the ps-row
-  slice starting at page_id*ps): K+V for *all* kv heads of a page form one
-  contiguous [ps, 2, Hkv, D] tile, so each page is one large contiguous DMA —
-  DMA size, not allocation granularity, is what HBM bandwidth cares about on
-  TPU, and the decode step is bandwidth-bound. The flat axis keeps the
-  engine's KV writes single-dim scatters that XLA updates in place.
+- Pool layout [L, 2, T, Hkv*D] (K/V planes, flat token rows, flat
+  head-major channels; one page-half = the ps-row slice starting at
+  page_id*ps): each half is one contiguous [ps, Hkv*D] tile fetched in a
+  single DMA — DMA size, not allocation granularity, is what HBM bandwidth
+  cares about on TPU, and the decode step is bandwidth-bound. Both trailing
+  dims are tile-sized for every dtype (bf16 / int8 / fp8), so quantized
+  pools carry no physical padding, and K/V extraction in VMEM is a
+  tile-perfect reshape (no cross-lane shuffles); the flat token axis keeps
+  the engine's KV writes single-dim scatters that XLA updates in place.
 - Grid is (B,) with a *dynamic* fori_loop over UNROLL-page KV blocks inside
   each program (no wasted grid steps for short sequences), and a
   **cross-program lookahead prefetch**: each iteration starts the DMA for the
@@ -21,7 +24,7 @@ gather-through-indirection at :84-89), re-designed for TPU bandwidth:
   SMEM across grid programs (the standard TPU paged-attention pipelining
   pattern, cf. jax.experimental.pallas.ops.tpu.paged_attention). This
   replaced a per-request restart pipeline and was worth ~20x on long-context
-  decode (1.41 ms -> ~0.07 ms per 3B layer at seq 1000, bs 12).
+  decode (1.41 ms -> ~0.08 ms per 3B layer at seq 1000, bs 12).
 - GQA-on-MXU trick: instead of Hkv small per-head dots ([G, D] x [D, ps],
   G ~ 1..8 rows — wasting the MXU's 128-row dim), ALL query heads form the
   M axis ([Nq, D]) and ALL heads' keys form the N axis ([D, UNROLL*Hkv*ps]).
@@ -30,11 +33,10 @@ gather-through-indirection at :84-89), re-designed for TPU bandwidth:
   softmax + P@V (zeros kill cross-head V terms) stay exact. Net: 2 matmul
   issues per iteration instead of 2*Hkv*UNROLL. Matmul inputs stay bf16
   (fp32 accumulate via preferred_element_type) to hit the MXU's fast path.
-- INT8 KV cache (beyond-reference): pages arrive int8 with per-(token, head)
-  scales; the score matrix is descaled per *column* after the Q@K dot
-  (s[:, j] *= sk[j] — exact, scales are per key token) and P is rescaled per
-  column before P@V (pv = (p * sv) @ v_q — exact for the same reason). KV HBM
-  traffic halves again.
+- FP8 KV cache (beyond-reference): float8_e4m3 pages dequantize with a plain
+  dtype cast on the way into the MXU — no scale side-band, half the KV HBM
+  traffic. (INT8+per-token-scale pools run through the XLA reference path —
+  a flat scale-vector reshape is not expressible in Mosaic's vector layouts.)
 - Online softmax in base-2 (exp2 with log2(e)-folded scale — the reference's
   Triton trick, flashattention2_nopad.py:134) with fp32 running max / sum /
   accumulator. The (m, l, acc) form stays ring/context-parallel combinable
@@ -66,24 +68,20 @@ def _decode_kernel(
     buf_idx_ref,  # [1] int32 (mutable across grid programs)
     init_ref,  # [1] int32 (1 until the first block DMA is self-started)
     # inputs
-    q_ref,  # [1, Nq, D] VMEM (this request's q, bf16-scaled)
-    kv_pages_ref,  # [L, T, 2, Hkv, D] HBM (flat token rows)
-    kv_scales_ref,  # [L, T, 2, Hkv] HBM (dummy [1,ps,2,Hkv] if bf16)
+    q_ref,  # [1, Nq, D] VMEM (this request's q)
+    kv_pages_ref,  # [L, 2, T, Hkv*D] HBM (K/V planes, flat token rows)
     # outputs
     out_ref,  # [1, Nq, D] VMEM
     m_ref,  # [1, Nq, 128] VMEM fp32 (running max, exp2 domain; col 0 valid)
     l_ref,  # [1, Nq, 128] VMEM fp32 (softmax denominator; col 0 valid)
     # scratch
-    kv_buf,  # [N_BUF, UNROLL, ps, 2, Hkv, D] VMEM (page-major, token rows)
-    sc_buf,  # [N_BUF, UNROLL, ps, 2, Hkv] VMEM fp32 (or [1,...] dummy)
+    kv_buf,  # [N_BUF, UNROLL, 2, ps, Hkv*D] VMEM (page-major, K/V halves)
     sems,  # DMA sems [N_BUF] (shared by all page copies of a block)
-    sc_sems,  # DMA sems [N_BUF]
     *,
     sm_scale: float,
     page_size: int,
     num_kv_heads: int,
     UNROLL: int,
-    quantized: bool,
     mat_dtype,
 ):
     b = pl.program_id(0)
@@ -99,7 +97,7 @@ def _decode_kernel(
     Nq, D = q_ref.shape[1], q_ref.shape[2]
     Hkv = num_kv_heads
     G = Nq // Hkv
-    Wp = UNROLL * Hkv * ps  # score columns per iteration
+    Wp = UNROLL * ps * Hkv  # score columns per iteration
     q = (q_ref[0].astype(jnp.float32) * (sm_scale * LOG2E)).astype(
         mat_dtype
     )  # [Nq, D] — bf16 rows feed the MXU fast path; accumulate is fp32
@@ -115,26 +113,19 @@ def _decode_kernel(
         real data, masked in compute — so no garbage reaches the MXU)."""
         base = ii * UNROLL
         last = jnp.maximum(pl.cdiv(seq_lens_ref[bb], ps), 1) - 1
-        kv, sc = [], []
+        copies = []
         for f in range(UNROLL):
             page_id = page_table_ref[bb, jnp.minimum(base + f, last)]
             row0 = pl.multiple_of(page_id * ps, ps)
-            kv.append(
-                pltpu.make_async_copy(
-                    kv_pages_ref.at[layer, pl.ds(row0, ps)],
-                    kv_buf.at[slot, f],
-                    sems.at[slot],
-                )
-            )
-            if quantized:
-                sc.append(
+            for c in range(2):
+                copies.append(
                     pltpu.make_async_copy(
-                        kv_scales_ref.at[layer, pl.ds(row0, ps)],
-                        sc_buf.at[slot, f],
-                        sc_sems.at[slot],
+                        kv_pages_ref.at[layer, c, pl.ds(row0, ps)],
+                        kv_buf.at[slot, f, c],
+                        sems.at[slot],
                     )
                 )
-        return kv + sc
+        return copies
 
     def start_block(bb, ii, slot):
         for c in block_copies(bb, ii, slot):
@@ -187,22 +178,12 @@ def _decode_kernel(
             for c in block_copies(b, it, slot):
                 c.wait()
 
-            if quantized:
-                # Dequantize the whole [UNROLL, ps, 2, Hkv, D] tile with one
-                # broadcast multiply in its NATURAL layout, then collapse the
-                # leading dims. (A flat [Wp] scale vector would need a
-                # lane-relayout reshape Mosaic rejects: "unsupported shape
-                # cast".) bf16 holds int8 exactly; scales fold in fp32.
-                kvt = (
-                    kv_buf[slot].astype(jnp.float32)
-                    * sc_buf[slot][..., None]
-                ).astype(mat_dtype)
-            else:
-                kvt = kv_buf[slot]
-            k = kvt[:, :, 0].reshape(Wp, D)  # [(f t h), D]
-            v = kvt[:, :, 1].reshape(Wp, D)
+            # [UNROLL, 2, ps, Hkv*D] halves -> [(f t h), D] via tile-perfect
+            # lane-split reshapes (no cross-lane shuffles).
+            k = kv_buf[slot, :, 0].reshape(Wp, D).astype(mat_dtype)
+            v = kv_buf[slot, :, 1].reshape(Wp, D).astype(mat_dtype)
             s = jax.lax.dot_general(
-                q, k.astype(mat_dtype), (((1,), (1,)), ((), ())),
+                q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [Nq, Wp] — cross-head blocks are junk, masked next
             valid = head_ok & (it * bk + pos_base < length)
@@ -212,10 +193,8 @@ def _decode_kernel(
             p = jnp.exp2(s - m_new)  # [Nq, Wp]; junk/pad cols -> 0
             corr = jnp.exp2(m - m_new)
             l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
-            p_v = p.astype(v.dtype)
-            v_mat = v
             pv = jax.lax.dot_general(
-                p_v, v_mat, (((1,), (0,)), ((), ())),
+                p.astype(mat_dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [Nq, D] — zero weights kill cross-head V terms
             return m_new, l_new, acc * corr + pv
@@ -235,7 +214,7 @@ def _decode_kernel(
 )
 def paged_flash_decode(
     q: jax.Array,  # [B, Nq, D]
-    kv_pool,  # KVPool: pages [L, T, 2, Hkv, D] flat rows (+ scales when int8)
+    kv_pool,  # KVPool: pages [L, 2, T, Hkv*D] planes (bf16/fp8; no scales)
     layer: jax.Array | int,
     page_table: jax.Array,  # int32 [B, ppr]
     seq_lens: jax.Array,  # int32 [B]
@@ -253,10 +232,13 @@ def paged_flash_decode(
     all pool writes to one post-scan scatter: the pool stays read-only inside
     the layer scan, so XLA keeps it aliased in place instead of ping-pong
     copying it every layer (measured 288ms -> ~20ms per 3B decode step)."""
+    assert not kv_pool.quantized, (
+        "int8+scales pools use the XLA reference path (ops.paged_decode_"
+        "attention dispatches); the Pallas kernel serves bf16 and fp8 pools"
+    )
     kv_pages = kv_pool.pages
-    quantized = kv_pool.quantized
     B, Nq, D = q.shape
-    L, T, _, Hkv, _ = kv_pages.shape
+    Hkv = kv_pool.num_kv_heads
     ps = kv_pool.page_size
     if sm_scale is None:
         sm_scale = 1.0 / (D**0.5)
@@ -264,12 +246,10 @@ def paged_flash_decode(
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
     buf_idx0 = jnp.zeros((1,), jnp.int32)
     init0 = jnp.ones((1,), jnp.int32)
-    if quantized:
-        kv_scales = kv_pool.scales
-        sc_scratch = pltpu.VMEM((N_BUF, unroll, ps, 2, Hkv), jnp.float32)
-    else:
-        kv_scales = jnp.zeros((1, ps, 2, Hkv), jnp.float32)
-        sc_scratch = pltpu.VMEM((1, 1, ps, 2, Hkv), jnp.float32)
+    # bf16 matmul inputs hit the MXU fast path. Precision follows the query
+    # dtype: fp32 q (CPU tests) keeps fp32 matmuls (fp8/int8 pages dequantize
+    # exactly either way), bf16 q (production) rides the fast path.
+    mat_dtype = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -278,7 +258,6 @@ def paged_flash_decode(
             pl.BlockSpec(
                 (1, Nq, D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
@@ -293,23 +272,18 @@ def paged_flash_decode(
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((N_BUF, unroll, ps, 2, Hkv, D), kv_pages.dtype),
-            sc_scratch,
-            pltpu.SemaphoreType.DMA((N_BUF,)),
+            pltpu.VMEM(
+                (N_BUF, unroll, 2, ps, Hkv * D), kv_pages.dtype
+            ),
             pltpu.SemaphoreType.DMA((N_BUF,)),
         ],
     )
-    # bf16 matmul inputs hit the MXU fast path. Precision follows the query
-    # dtype: fp32 q (CPU tests) keeps fp32 matmuls (int8 pages dequantize
-    # exactly either way), bf16 q (production) rides the fast path.
-    mat_dtype = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
     kernel = functools.partial(
         _decode_kernel,
         sm_scale=float(sm_scale),
         page_size=ps,
         num_kv_heads=Hkv,
         UNROLL=unroll,
-        quantized=quantized,
         mat_dtype=mat_dtype,
     )
     kv_lens = seq_lens if k_new is None else seq_lens - 1
@@ -325,7 +299,7 @@ def paged_flash_decode(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(layer_arr, page_table, kv_lens, buf_idx0, init0, q, kv_pages, kv_scales)
+    )(layer_arr, page_table, kv_lens, buf_idx0, init0, q, kv_pages)
     if k_new is None:
         return out
     # Exact LSE combine with the virtual newest token (exp2 domain, scales

@@ -149,7 +149,8 @@ def gather_kv_pages(
     materialized per-layer slice of the pool.
     """
     pages = kv_pool.pages
-    L, T, _, Hkv, D = pages.shape
+    L, _, T, HD = pages.shape
+    Hkv, D = kv_pool.num_kv_heads, kv_pool.head_dim
     ps = kv_pool.page_size
     n = max_seq_len // ps
     pt = page_table[:, :n]  # [B, n]
@@ -157,14 +158,16 @@ def gather_kv_pages(
     rows = (pt[:, :, None] * ps + off[None, None, :]).reshape(
         pt.shape[0], n * ps
     )  # [B, S]
-    flat = layer * T + rows  # [B, S]
-    kv = pages.reshape(L * T, 2, Hkv, D)[flat]  # [B, S, 2, Hkv, D]
-    B = pt.shape[0]
+    B, S = rows.shape
+    # Gather both planes: [2, B, S, Hkv, D]
+    kv = pages[layer].reshape(2 * T, HD)[
+        (jnp.arange(2)[:, None, None] * T + rows[None])
+    ].reshape(2, B, S, Hkv, D)
     if kv_pool.quantized:
-        sc = kv_pool.scales.reshape(L * T, 2, Hkv)[flat]
-        kv = kv.astype(jnp.float32) * sc[..., None]
+        sc = kv_pool.scales[layer][rows]  # [B, S, 2, Hkv]
+        kv = kv.astype(jnp.float32) * sc.transpose(2, 0, 1, 3)[..., None]
         kv = kv.astype(out_dtype or jnp.float32)
-    kv = kv.transpose(2, 0, 3, 1, 4)  # [2, B, Hkv, S, D]
+    kv = kv.transpose(0, 1, 3, 2, 4)  # [2, B, Hkv, S, D]
     return kv[0], kv[1]
 
 
@@ -188,7 +191,7 @@ def paged_decode_attention(
     gathered view at position seq_lens-1 (deferred-write protocol).
     """
     B, Hq, D = q.shape
-    Hkv = kv_pool.shape[3]
+    Hkv = kv_pool.num_kv_heads
     page_size = kv_pool.page_size
     if max_seq_len is None:
         max_seq_len = page_table.shape[1] * page_size

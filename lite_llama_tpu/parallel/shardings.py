@@ -79,12 +79,13 @@ class ShardingPolicy:
 
     # -- KV cache ---------------------------------------------------------
     def _cache_leaf_sharding(self, leaf):
-        """kv pages [L, T, 2, Hkv, D] / scales [L, T, 2, Hkv]: KV heads
-        (axis 3) over tp so decode attention is chip-local; all bookkeeping
+        """kv pages [L, 2, T, Hkv*D] (head-major channels, so a contiguous
+        last-axis shard is a group of heads) / scales [L, T, 2, Hkv]: KV
+        heads over tp so decode attention is chip-local; all bookkeeping
         arrays replicated. Dispatch by rank."""
-        if leaf.ndim == 5:
-            return self._ns(None, None, None, "tp", None)
         if leaf.ndim == 4:
+            # pages [L, 2, T, Hkv*D] and scales [L, T, 2, Hkv]: both shard
+            # kv-heads on the LAST axis.
             return self._ns(None, None, None, "tp")
         return self._ns(*([None] * leaf.ndim))
 

@@ -21,22 +21,28 @@ def build_paged_kv(key, L, Hkv, P, ps, D, B, ppr, lens, dtype=jnp.float32,
                    quantized=False):
     """Random pool + a page table whose live entries are a permutation of
     distinct pages (like the allocator produces)."""
-    if quantized:
+    meta = dict(page_size=ps, num_kv_heads=Hkv, head_dim=D)
+    shape = (L, 2, P * ps, Hkv * D)
+    if quantized == "fp8":
         kv_pages = KVPool(
-            pages=jax.random.randint(
-                key, (L, P * ps, 2, Hkv, D), -127, 128, jnp.int8
+            pages=jax.random.normal(key, shape, jnp.float32).astype(
+                jnp.float8_e4m3fn
             ),
+            scales=None, **meta,
+        )
+    elif quantized:
+        kv_pages = KVPool(
+            pages=jax.random.randint(key, shape, -127, 128, jnp.int8),
             scales=jax.random.uniform(
                 jax.random.fold_in(key, 1), (L, P * ps, 2, Hkv),
                 jnp.float32, 0.005, 0.02,
             ),
-            page_size=ps,
+            **meta,
         )
     else:
         kv_pages = KVPool(
-            pages=jax.random.normal(key, (L, P * ps, 2, Hkv, D), dtype),
-            scales=None,
-            page_size=ps,
+            pages=jax.random.normal(key, shape, dtype),
+            scales=None, **meta,
         )
     rng = np.random.default_rng(0)
     perm = rng.permutation(P)
@@ -129,13 +135,51 @@ def test_paged_flash_decode_virtual_token():
     )
 
 
-def test_paged_flash_decode_int8_kv():
+def test_paged_decode_int8_kv_dispatch_matches_dequant():
+    """INT8+scales pools run the XLA gather path; it must equal attention on
+    an explicitly dequantized pool."""
+    import lite_llama_tpu.ops as ops
+    from lite_llama_tpu.executor.kv_cache import KVPool as _KVPool
+
     B, Nq, Hkv, D, ps = 2, 8, 2, 128, 16
     L, P, ppr = 2, 32, 8
     lens = [33, 9]
     lens_arr = jnp.asarray(lens, jnp.int32)
     kv_pages, table = build_paged_kv(
         jax.random.PRNGKey(4), L, Hkv, P, ps, D, B, ppr, lens, quantized=True
+    )
+    q = jax.random.normal(jax.random.PRNGKey(5), (B, Nq, D), jnp.float32)
+    # Dequantize the whole pool into an fp32 pool (planes [L, 2, T, Hkv*D];
+    # scales [L, T, 2, Hkv] -> [L, 2, T, Hkv]).
+    T = P * ps
+    deq = (
+        kv_pages.pages.reshape(L, 2, T, Hkv, D).astype(jnp.float32)
+        * kv_pages.scales.transpose(0, 2, 1, 3)[..., None]
+    ).reshape(L, 2, T, Hkv * D)
+    kv_deq = _KVPool(pages=deq, scales=None, page_size=ps,
+                     num_kv_heads=Hkv, head_dim=D)
+    for layer in (0, 1):
+        want = ref.paged_decode_attention(
+            q, kv_deq, layer, table, lens_arr, ppr * ps
+        )
+        got = ops.paged_decode_attention(
+            q, kv_pages, layer, table, lens_arr, ppr * ps
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=3e-3, atol=3e-3,
+            err_msg=f"layer={layer}",
+        )
+
+
+def test_paged_flash_decode_fp8_kv():
+    """Scale-free fp8 pool through the Pallas kernel (interpret)."""
+    B, Nq, Hkv, D, ps = 2, 8, 2, 128, 16
+    L, P, ppr = 2, 32, 8
+    lens = [33, 9]
+    lens_arr = jnp.asarray(lens, jnp.int32)
+    kv_pages, table = build_paged_kv(
+        jax.random.PRNGKey(4), L, Hkv, P, ps, D, B, ppr, lens,
+        quantized="fp8",
     )
     q = jax.random.normal(jax.random.PRNGKey(5), (B, Nq, D), jnp.float32)
     for layer in (0, 1):

@@ -108,20 +108,20 @@ def test_kv_write_prefill_then_read_back():
         jnp.zeros((B,), jnp.int32), lens,
     ).pages
     # Read back token (b=1, s=3) from the pool through the table
-    # (flat row = page * page_size + offset).
+    # (planes [L, 2, T, Hkv*D]; flat row = page * page_size + offset).
     pos = 3
     row = int(table_rows[1, pos // 4]) * 4 + pos % 4
     np.testing.assert_allclose(
-        np.asarray(kv[1, row, 0]), np.asarray(k_new[1, 3])
+        np.asarray(kv[1, 0, row]).reshape(Hkv, D), np.asarray(k_new[1, 3])
     )
     np.testing.assert_allclose(
-        np.asarray(kv[1, row, 1]), np.asarray(v_new[1, 3])
+        np.asarray(kv[1, 1, row]).reshape(Hkv, D), np.asarray(v_new[1, 3])
     )
     # Layer 0 untouched.
     assert float(jnp.sum(jnp.abs(kv[0]))) == 0.0
-    # Pad position (b=1, s=5) dropped: the layer-1 K half holds exactly the
+    # Pad position (b=1, s=5) dropped: layer 1's K plane holds exactly the
     # valid tokens of both requests.
-    assert float(jnp.sum(jnp.abs(kv[1, :, 0]))) == pytest.approx(
+    assert float(jnp.sum(jnp.abs(kv[1, 0]))) == pytest.approx(
         float(jnp.sum(jnp.abs(k_new[0, :6]))) + float(jnp.sum(jnp.abs(k_new[1, :5])))
     )
 
@@ -140,7 +140,7 @@ def test_kv_write_decode_and_inactive_drop():
         cache.kv_pages, 0, k_new, k_new, table_rows, pos, active
     ).pages
     row0 = int(table_rows[0, 1]) * 4  # offset 0 of req0's second page
-    np.testing.assert_allclose(np.asarray(kv[0, row0, 0]), 7.0)
+    np.testing.assert_allclose(np.asarray(kv[0, :, row0]), 7.0)
     # Inactive request wrote nothing anywhere (K and V halves both written
     # for the active one).
     assert float(jnp.sum(jnp.abs(kv))) == pytest.approx(2 * 7.0 * Hkv * D)

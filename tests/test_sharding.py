@@ -68,6 +68,7 @@ def test_params_actually_sharded():
     # head axis (axis 2) split 8 ways
     assert shards[0].data.shape[2] == wq.shape[2] // 8
     kp = sharded.cache.kv_pages.pages
+    # planes [L, 2, T, Hkv*D]: head-channel axis (last) split 8 ways
     assert kp.addressable_shards[0].data.shape[3] == kp.shape[3] // 8
 
 
