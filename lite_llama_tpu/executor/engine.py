@@ -32,7 +32,7 @@ import numpy as np
 
 from ..config import BaseConfig, load_config
 from ..models.decoder import AttnContext, decoder_decode, decoder_prefill
-from ..generation.sampling import SamplingParams, sample
+from ..generation.sampling import SamplingParams, log_softmax_gather, sample
 from .kv_cache import (
     PagedKVCache,
     alloc_decode,
@@ -173,7 +173,8 @@ class InferenceEngine:
         B = ids.shape[0]
         last = logits[jnp.arange(B), lens - 1]
         tok = sample(last, key, sampling)
-        return cache, tok, last
+        lp = log_softmax_gather(last, tok)
+        return cache, tok, last, lp
 
     def _decode_chunk(
         self, params, cache, req_ids, tok, done, stop_lens, key, sampling,
@@ -209,17 +210,20 @@ class InferenceEngine:
             # Steps past n_limit are frozen: carry and emissions unchanged.
             next_tok = jnp.where(step_ok, next_tok, tok)
             emit = jnp.where(done | ~step_ok, pad, next_tok)
+            emit_lp = jnp.where(
+                done | ~step_ok, 0.0, log_softmax_gather(logits, next_tok)
+            )
             hit_eos = jnp.isin(next_tok, eos) & step_ok
             hit_len = (cache.seq_lens[req_ids] >= stop_lens) & step_ok
             new_done = done | hit_eos | hit_len
-            return (cache, next_tok, new_done), emit
+            return (cache, next_tok, new_done), (emit, emit_lp)
 
         keys = jax.random.split(key, n_steps)
         steps = jnp.arange(n_steps, dtype=jnp.int32)
-        (cache, tok, done), toks = jax.lax.scan(
+        (cache, tok, done), (toks, lps) = jax.lax.scan(
             body, (cache, tok, done), (keys, steps)
         )
-        return cache, tok, done, toks  # toks: [n_steps, B]
+        return cache, tok, done, toks, lps  # [n_steps, B] each
 
     # -- host API ---------------------------------------------------------
     def _next_key(self):
@@ -263,7 +267,7 @@ class InferenceEngine:
         ids = np.full((B, S), self.pad_id, np.int32)
         for i, t in enumerate(token_lists):
             ids[i, : len(t)] = t
-        self.cache, tok, last = self._prefill_jit(
+        self.cache, tok, last, lp = self._prefill_jit(
             self.params,
             self.cache,
             jnp.asarray(ids),
@@ -273,7 +277,7 @@ class InferenceEngine:
             sampling,
         )
         self.stats.prefill_tokens += int(lens.sum())
-        return np.asarray(tok), lens, last
+        return np.asarray(tok), lens, last, np.asarray(lp)
 
     def decode(self, slots, tok, done, stop_lens, sampling, n_steps: int):
         """Run one jitted multi-step decode chunk. Returns (tokens
@@ -290,7 +294,7 @@ class InferenceEngine:
             if n_steps >= self.decode_chunk
             else next_pow2(n_steps)
         )
-        self.cache, tok, done, toks = self._chunk_jit(
+        self.cache, tok, done, toks, lps = self._chunk_jit(
             self.params,
             self.cache,
             jnp.asarray(slots, jnp.int32),
@@ -305,4 +309,4 @@ class InferenceEngine:
         out = np.asarray(toks)[:n_steps]
         self.stats.chunks += 1
         self.stats.decode_tokens += int(out.shape[0] * out.shape[1])
-        return tok, done, out
+        return tok, done, out, np.asarray(lps)[:n_steps]

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..generation.sampling import sample
+from ..generation.sampling import log_softmax_gather, sample
 from ..models.decoder import AttnContext, decoder_decode
 from ..models.llava import expand_image_tokens_host, llava_prefill
 from .engine import InferenceEngine, next_pow2
@@ -65,7 +65,8 @@ class LlavaEngine(InferenceEngine):
         B = ids.shape[0]
         last = logits[jnp.arange(B), exp_lens - 1]
         tok = sample(last, key, sampling)
-        return cache, tok, last
+        lp = log_softmax_gather(last, tok)
+        return cache, tok, last, lp
 
     # -- host API -----------------------------------------------------------
     def expanded_lens(self, token_lists: Sequence[Sequence[int]]) -> List[int]:
@@ -96,7 +97,7 @@ class LlavaEngine(InferenceEngine):
             has_image = np.zeros((B,), bool)
         else:
             has_image = exp_lens != raw_lens
-        self.cache, tok, last = self._mm_prefill_jit(
+        self.cache, tok, last, lp = self._mm_prefill_jit(
             self.params,
             self.cache,
             jnp.asarray(ids),
@@ -109,4 +110,4 @@ class LlavaEngine(InferenceEngine):
             sampling,
         )
         self.stats.prefill_tokens += int(exp_lens.sum())
-        return np.asarray(tok), exp_lens, last
+        return np.asarray(tok), exp_lens, last, np.asarray(lp)

@@ -152,7 +152,7 @@ class ContinuousBatchingScheduler:
             top_p=jnp.asarray([r.top_p for r in batch], jnp.float32),
             top_k=jnp.asarray([r.top_k for r in batch], jnp.int32),
         )
-        first_tok, lens, _ = self.engine.prefill(
+        first_tok, lens, _, lp0 = self.engine.prefill(
             [r.prompt_tokens for r in batch], sampling, slots
         )
         now = time.perf_counter()
@@ -187,7 +187,7 @@ class ContinuousBatchingScheduler:
         eng = self.engine
         M = eng.max_reqs
         slots = list(range(M))
-        tok, done, toks = eng.decode(
+        tok, done, toks, lps = eng.decode(
             slots,
             self._tok,
             jnp.asarray(self._done_mask),

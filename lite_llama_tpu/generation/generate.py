@@ -32,6 +32,12 @@ class CompletionOutput:
     finish_reason: str = "length"  # or "stop"
 
 
+# Special tags never allowed inside user-supplied chat content
+# (reference generete_with_probs.py:33-37).
+SPECIAL_TAGS = ["[INST]", "[/INST]", "<<SYS>>", "<</SYS>>"]
+UNSAFE_ERROR = "Error: special tags are not allowed as part of the prompt."
+
+
 def _make_sampling(B, temperature, top_p, top_k) -> SamplingParams:
     return SamplingParams.make(B, temperature=temperature, top_p=top_p, top_k=top_k)
 
@@ -57,8 +63,10 @@ class TextGenerator:
         top_p: float = 0.9,
         top_k: int = 0,
         echo: bool = False,
+        logprobs: bool = False,
     ) -> List[CompletionOutput]:
-        """Non-streaming batch completion (reference generate.py:90-188)."""
+        """Non-streaming batch completion (reference generate.py:90-188;
+        per-token logprobs per generete_with_probs.py:57)."""
         eng = self.engine
         B = len(prompt_tokens)
         lens = [len(t) for t in prompt_tokens]
@@ -69,8 +77,9 @@ class TextGenerator:
         slots = eng.acquire_slots(B)
         sampling = _make_sampling(B, temperature, top_p, top_k)
 
-        first_tok, lens_arr, _ = eng.prefill(prompt_tokens, sampling, slots)
+        first_tok, lens_arr, _, lp0 = eng.prefill(prompt_tokens, sampling, slots)
         out_tokens = [[int(first_tok[i])] for i in range(B)]
+        out_lps = [[float(lp0[i])] for i in range(B)]
         done_host = np.asarray(
             [t in self.eos_ids or lens[i] + 1 >= max_total[i]
              for i, t in enumerate(first_tok)]
@@ -80,12 +89,13 @@ class TextGenerator:
         steps_left = max(mt - l - 1 for mt, l in zip(max_total, lens))
         while steps_left > 0 and not bool(done_host.all()):
             n = min(eng.decode_chunk, steps_left)
-            tok, done, toks = eng.decode(
+            tok, done, toks, lps = eng.decode(
                 slots, tok, done, max_total, sampling, n_steps=n
             )
             for i in range(B):
                 if not done_host[i]:
                     out_tokens[i].extend(int(t) for t in toks[:, i])
+                    out_lps[i].extend(float(v) for v in lps[:, i])
             done_host = np.asarray(done)
             steps_left -= n
 
@@ -101,6 +111,7 @@ class TextGenerator:
                 CompletionOutput(
                     token_ids=ids,
                     text=self._decode(ids),
+                    logprobs=out_lps[i][: len(toks_i)] if logprobs else None,
                     finish_reason=finish,
                 )
             )
@@ -125,7 +136,7 @@ class TextGenerator:
         slots = eng.acquire_slots(B)
         sampling = _make_sampling(B, temperature, top_p, top_k)
         try:
-            first_tok, _, _ = eng.prefill(prompt_tokens, sampling, slots)
+            first_tok, _, _, lp0 = eng.prefill(prompt_tokens, sampling, slots)
             done_host = np.asarray(
                 [t in self.eos_ids or lens[i] + 1 >= max_total[i]
                  for i, t in enumerate(first_tok)]
@@ -137,7 +148,7 @@ class TextGenerator:
             steps_left = max(mt - l - 1 for mt, l in zip(max_total, lens))
             while steps_left > 0 and not bool(done_host.all()):
                 n = min(chunk, steps_left)
-                tok, done, toks = eng.decode(
+                tok, done, toks, lps = eng.decode(
                     slots, tok, done, max_total, sampling, n_steps=n
                 )
                 new_done = np.asarray(done)
@@ -164,6 +175,79 @@ class TextGenerator:
         assert self.tokenizer is not None, "text API requires a tokenizer"
         toks = [self.tokenizer.encode(p) for p in prompts]
         return self.generate_tokens(toks, **kw)
+
+    def chat_completion(
+        self,
+        dialogs: Sequence[Sequence[dict]],
+        temperature: float = 0.6,
+        top_p: float = 0.9,
+        max_gen_len: Optional[int] = None,
+        logprobs: bool = False,
+    ) -> List[dict]:
+        """Multi-turn chat completion (reference generete_with_probs.py:314).
+
+        Each dialog is a list of {"role": system|user|assistant,
+        "content": str} messages; roles must alternate user/assistant after
+        an optional leading system message and end with a user turn. Prompts
+        render through the tokenizer's chat template when it has one (the
+        HF-native path), else through the model-family prompter. Returns
+        ChatPrediction dicts: {"generation": {"role", "content"},
+        "tokens"?, "logprobs"?}.
+        """
+        assert self.tokenizer is not None, "chat API requires a tokenizer"
+        if max_gen_len is None:
+            max_gen_len = self.engine.config.max_seq_len - 1
+        unsafe = [
+            any(tag in m["content"] for tag in SPECIAL_TAGS for m in d)
+            for d in dialogs
+        ]
+        prompt_tokens = []
+        for dialog in dialogs:
+            assert dialog and dialog[-1]["role"] == "user", (
+                "last message must be from the user"
+            )
+            body = dialog[1:] if dialog[0]["role"] == "system" else dialog
+            assert all(m["role"] == "user" for m in body[::2]) and all(
+                m["role"] == "assistant" for m in body[1::2]
+            ), "roles must alternate user/assistant"
+            if getattr(self.tokenizer, "chat_template", None):
+                ids = self.tokenizer.apply_chat_template(
+                    list(dialog), add_generation_prompt=True
+                )
+            else:
+                from ..utils.prompts import get_prompter
+
+                prompter = get_prompter(self.engine.config.model_type)
+                if dialog[0]["role"] == "system":
+                    prompter.system_prompt = dialog[0]["content"]
+                for user_msg, reply in zip(body[::2], body[1::2]):
+                    prompter.insert_prompt(user_msg["content"])
+                    prompter.update_last_reply(reply["content"])
+                text = prompter.insert_prompt(body[-1]["content"])
+                ids = self.tokenizer.encode(text)
+            prompt_tokens.append(ids)
+        outs = self.generate_tokens(
+            prompt_tokens,
+            max_gen_len=max_gen_len,
+            temperature=temperature,
+            top_p=top_p,
+            logprobs=logprobs,
+        )
+        preds = []
+        for out, is_unsafe in zip(outs, unsafe):
+            pred = {
+                "generation": {
+                    "role": "assistant",
+                    "content": UNSAFE_ERROR if is_unsafe else (out.text or ""),
+                }
+            }
+            if logprobs:
+                pred["tokens"] = [
+                    self.tokenizer.decode([t]) for t in out.token_ids
+                ]
+                pred["logprobs"] = out.logprobs
+            preds.append(pred)
+        return preds
 
     def text_completion_stream(
         self, prompts: Sequence[str], **kw

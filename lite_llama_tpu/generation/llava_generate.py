@@ -60,7 +60,7 @@ class LlavaTextGenerator(TextGenerator):
         slots = eng.acquire_slots(B)
         sampling = _make_sampling(B, temperature, top_p, top_k)
         try:
-            first_tok, lens, _ = eng.prefill_multimodal(
+            first_tok, lens, _, lp0 = eng.prefill_multimodal(
                 prompt_tokens, pixel_values, sampling, slots
             )
             done_host = np.asarray(
@@ -74,7 +74,7 @@ class LlavaTextGenerator(TextGenerator):
             steps_left = max(mt - l - 1 for mt, l in zip(max_total, exp_lens))
             while steps_left > 0 and not bool(done_host.all()):
                 n = min(chunk, steps_left)
-                tok, done, toks = eng.decode(
+                tok, done, toks, lps = eng.decode(
                     slots, tok, done, max_total, sampling, n_steps=n
                 )
                 new_done = np.asarray(done)
