@@ -11,6 +11,11 @@ Run on the TPU:  python benchmarks/kernels_bench.py [--quick]
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import argparse
 import json
 import time

@@ -16,6 +16,11 @@ Usage:
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import argparse
 import time
 from typing import List, Optional

@@ -11,6 +11,11 @@ Usage:
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import argparse
 
 from lite_llama_tpu.eval import DATASETS, InferenceHarness, run_eval

@@ -1,0 +1,109 @@
+"""Continuous-batching serving benchmark.
+
+Beyond-reference capability demo (the reference serves static batches only;
+continuous batching is a TODO at its README.md:136). Submits a Poisson-ish
+stream of requests with mixed prompt/output lengths into the
+ContinuousBatchingScheduler and reports sustained throughput, per-request
+latency and time-to-first-token, with periodic engine metrics as JSON lines.
+
+Usage (random weights, shape-faithful):
+    python examples/serve_benchmark.py [--model llama-3.2-3b] [--requests 64]
+        [--max-reqs 16] [--checkpoint DIR]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="llama-3.2-3b")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--requests", type=int, default=64)
+    ap.add_argument("--max-reqs", type=int, default=16)
+    ap.add_argument("--max-seq-len", type=int, default=1024)
+    ap.add_argument("--chunk", type=int, default=32)
+    ap.add_argument("--quick", action="store_true", help="4-layer smoke run")
+    args = ap.parse_args()
+
+    from lite_llama_tpu.executor.engine import InferenceEngine
+    from lite_llama_tpu.executor.scheduler import ContinuousBatchingScheduler
+    from lite_llama_tpu.models.decoder import init_decoder_params
+    from lite_llama_tpu.models.presets import get_preset
+    from lite_llama_tpu.utils.profiling import MetricsLogger
+
+    if args.checkpoint:
+        engine = InferenceEngine.build(
+            args.checkpoint, dtype=jnp.bfloat16,
+            max_seq_len=args.max_seq_len, max_reqs=args.max_reqs,
+            decode_chunk=args.chunk,
+        )
+        cfg = engine.config
+    else:
+        cfg = get_preset(args.model, dtype=jnp.bfloat16,
+                         max_seq_len=args.max_seq_len)
+        if args.quick:
+            cfg.num_hidden_layers = 4
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        engine = InferenceEngine(
+            cfg, params, page_size=64, max_reqs=args.max_reqs,
+            num_pages=args.max_reqs * (args.max_seq_len // 64) + 16,
+            decode_chunk=args.chunk,
+        )
+
+    sched = ContinuousBatchingScheduler(engine)
+    metrics = MetricsLogger(engine, interval_s=5.0)
+    rng = np.random.default_rng(0)
+
+    # Warm-up: compile the prefill length-buckets + decode chunk outside
+    # the timed region.
+    for plen in (8, 16, 33, 63):
+        sched.submit(rng.integers(0, cfg.vocab_size, size=plen).tolist(),
+                     max_gen_len=8)
+    sched.run()
+
+    t0 = time.perf_counter()
+    for i in range(args.requests):
+        plen = int(rng.integers(8, 64))
+        glen = int(rng.integers(32, 256))
+        sched.submit(
+            rng.integers(0, cfg.vocab_size, size=plen).tolist(),
+            max_gen_len=glen, temperature=0.6, top_p=0.9,
+        )
+    done = sched.run(on_tokens=lambda *_: metrics.maybe_emit())
+    dt = time.perf_counter() - t0
+
+    out_tokens = sum(len(r.output_tokens) for r in done)
+    lat = [r.finished_at - r.submitted_at for r in done if r.finished_at]
+    ttft = [
+        r.first_token_at - r.submitted_at
+        for r in done
+        if r.first_token_at is not None
+    ]
+    metrics.emit()
+    print(
+        f"\n{len(done)} requests, {out_tokens} output tokens in {dt:.2f}s "
+        f"-> {out_tokens / dt:.1f} tokens/s sustained"
+    )
+    if lat:
+        print(
+            f"latency p50/p95: {np.percentile(lat, 50):.2f}/"
+            f"{np.percentile(lat, 95):.2f}s; "
+            f"ttft p50/p95: {np.percentile(ttft, 50):.2f}/"
+            f"{np.percentile(ttft, 95):.2f}s"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -94,16 +94,22 @@ def cmd_chat(args):
 
 
 def cmd_generate(args):
+    import contextlib
+
+    from .utils.profiling import trace
+
     engine, gen, prompter = _build(args)
     prompts = args.prompt or ["Hello, my name is"]
+    ctx = trace(args.profile) if args.profile else contextlib.nullcontext()
     t0 = time.perf_counter()
-    outs = gen.text_completion(
-        prompts,
-        max_gen_len=args.max_gen_len,
-        temperature=args.temperature,
-        top_p=args.top_p,
-        echo=args.echo,
-    )
+    with ctx:
+        outs = gen.text_completion(
+            prompts,
+            max_gen_len=args.max_gen_len,
+            temperature=args.temperature,
+            top_p=args.top_p,
+            echo=args.echo,
+        )
     dt = time.perf_counter() - t0
     total = sum(len(o.token_ids) for o in outs)
     for i, o in enumerate(outs):
@@ -112,6 +118,11 @@ def cmd_generate(args):
         f"\n{total} tokens in {dt:.2f}s -> {total / dt:.1f} tokens/s "
         f"({1000 * dt / max(total, 1):.2f} ms/token)"
     )
+    from .utils.common import get_device_memory
+
+    mem = get_device_memory()
+    if mem:
+        print(f"device memory: {mem['used_gb']:.2f} / {mem['total_gb']:.2f} GB")
 
 
 def main(argv=None):
@@ -130,6 +141,8 @@ def main(argv=None):
         if name == "generate":
             s.add_argument("-p", "--prompt", action="append")
             s.add_argument("--echo", action="store_true")
+            s.add_argument("--profile", metavar="DIR", default=None,
+                           help="write a jax.profiler device trace here")
     args = p.parse_args(argv)
     args.fn(args)
 

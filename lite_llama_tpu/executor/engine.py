@@ -48,6 +48,14 @@ def next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+def _pad1(x, n: int, fill):
+    """Pad a [B] device/np vector to [n] with ``fill``."""
+    x = np.asarray(x)
+    out = np.full((n,), fill, x.dtype)
+    out[: x.shape[0]] = x
+    return jnp.asarray(out)
+
+
 @dataclasses.dataclass
 class EngineStats:
     prefill_tokens: int = 0
@@ -260,24 +268,45 @@ class InferenceEngine:
 
     def prefill(self, token_lists: Sequence[Sequence[int]], sampling, slots):
         """Pad to a bucket, run jitted prefill, sample first tokens.
-        Returns (first_tokens [B] np, lens np, last_logits)."""
+        Returns (first_tokens [B] np, lens np, last_logits).
+
+        BOTH dims bucket to powers of two: sequence by padding with pad_id,
+        batch by appending dummy rows (lens 0, slot id == max_reqs, dropped
+        by the allocator's OOB mode) — so a continuous-batching scheduler
+        admitting odd batch sizes reuses a handful of compiled shapes
+        instead of paying a multi-second XLA compile per (B, S) pair."""
         B = len(token_lists)
-        lens = np.asarray([len(t) for t in token_lists], np.int32)
+        Bp = next_pow2(B)
+        lens = np.zeros((Bp,), np.int32)
+        lens[:B] = [len(t) for t in token_lists]
         S = next_pow2(int(lens.max()))
-        ids = np.full((B, S), self.pad_id, np.int32)
+        ids = np.full((Bp, S), self.pad_id, np.int32)
         for i, t in enumerate(token_lists):
             ids[i, : len(t)] = t
+        slots_p = list(slots) + [self.max_reqs] * (Bp - B)
+        samp_p = sampling
+        if Bp != B:
+            samp_p = SamplingParams(
+                temperature=_pad1(sampling.temperature, Bp, 1.0),
+                top_p=_pad1(sampling.top_p, Bp, 1.0),
+                top_k=_pad1(sampling.top_k, Bp, 0),
+            )
         self.cache, tok, last, lp = self._prefill_jit(
             self.params,
             self.cache,
             jnp.asarray(ids),
             jnp.asarray(lens),
-            jnp.asarray(slots, jnp.int32),
+            jnp.asarray(slots_p, jnp.int32),
             self._next_key(),
-            sampling,
+            samp_p,
         )
         self.stats.prefill_tokens += int(lens.sum())
-        return np.asarray(tok), lens, last, np.asarray(lp)
+        return (
+            np.asarray(tok)[:B],
+            lens[:B],
+            last[:B],
+            np.asarray(lp)[:B],
+        )
 
     def decode(self, slots, tok, done, stop_lens, sampling, n_steps: int):
         """Run one jitted multi-step decode chunk. Returns (tokens

@@ -257,8 +257,8 @@ def alloc_prefill(
     )
     return PagedKVCache(
         kv_pages=cache.kv_pages,
-        page_table=cache.page_table.at[req_ids].set(rows),
-        seq_lens=cache.seq_lens.at[req_ids].set(lens),
+        page_table=cache.page_table.at[req_ids].set(rows, mode="drop"),
+        seq_lens=cache.seq_lens.at[req_ids].set(lens, mode="drop"),
         free_stack=cache.free_stack,
         free_top=new_top,
     )

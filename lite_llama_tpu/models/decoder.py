@@ -57,6 +57,13 @@ class AttnContext(NamedTuple):
 
 
 def init_decoder_params(cfg, key, scale: float = 0.02) -> dict:
+    """Random parameter tree (tests/benchmarks; real weights come from the
+    checkpoint loader). Randomness is generated HOST-side with numpy: on a
+    remote-compiled TPU backend every distinct jax.random.normal shape pays
+    a multi-second XLA compile, which made engine construction in benchmarks
+    look minutes-slow for no model-related reason."""
+    import numpy as _np
+
     L = cfg.num_hidden_layers
     H = cfg.hidden_size
     D = cfg.head_dim
@@ -64,10 +71,18 @@ def init_decoder_params(cfg, key, scale: float = 0.02) -> dict:
     I = cfg.intermediate_size
     V = cfg.vocab_size
     dt = cfg.dtype
-    ks = jax.random.split(key, 8)
+    seed = int(jax.random.key_data(key).ravel()[-1]) & 0x7FFFFFFF
+    rng = _np.random.default_rng(seed)
+    _n = iter(range(1 << 20))
 
-    def init(k, shape):
-        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dt)
+    class _K:  # placeholder "keys" to keep call sites unchanged
+        pass
+
+    ks = [_K() for _ in range(8)]
+
+    def init(_k, shape):
+        w = rng.standard_normal(shape, dtype=_np.float32) * scale
+        return jnp.asarray(w.astype(_np.float32)).astype(dt)
 
     layers = {
         "attn_norm": jnp.ones((L, H), dt),

@@ -286,7 +286,13 @@ def paged_flash_decode(
         UNROLL=unroll,
         mat_dtype=mat_dtype,
     )
-    kv_lens = seq_lens if k_new is None else seq_lens - 1
+    # Clamp at 0: an empty slot (seq_len 0) must stay 0 under the virtual-
+    # page protocol, or the kernel's ==0 empty-slot skip misses it and a
+    # lookahead prefetch signals a DMA semaphore no program ever waits on
+    # (crashes the chip with a semaphore mismatch).
+    kv_lens = (
+        seq_lens if k_new is None else jnp.maximum(seq_lens - 1, 0)
+    )
     out, m, l = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -240,3 +240,33 @@ def test_int8_kv_cache_roundtrip_through_decoder():
         p2 = jax.nn.softmax(jnp.asarray(b), -1)
         tv = float(jnp.max(jnp.sum(jnp.abs(p1 - p2), -1))) / 2
         assert tv < 0.03, f"total variation {tv}"
+
+
+def test_paged_flash_decode_empty_slot():
+    """Empty slots (seq_len 0) under the virtual-page protocol: kv_lens must
+    clamp at 0 — a -1 length defeats the kernel's empty-slot skip and leaks
+    DMA semaphore signals on real hardware (chip crash). Masked outputs for
+    the empty slot must still be finite."""
+    B, Nq, Hkv, D, ps = 3, 8, 2, 128, 16
+    L, P, ppr = 1, 16, 4
+    lens = [33, 0, 9]  # middle slot empty
+    lens_arr = jnp.asarray(lens, jnp.int32)
+    kv_pages, table = build_paged_kv(
+        jax.random.PRNGKey(0), L, Hkv, P, ps, D, B, ppr, [33, 1, 9]
+    )
+    q = jax.random.normal(jax.random.PRNGKey(1), (B, Nq, D), jnp.float32)
+    k_new = jax.random.normal(jax.random.PRNGKey(2), (B, Hkv, D), jnp.float32)
+    got = paged_flash_decode(
+        q, kv_pages, 0, table, lens_arr, ppr * ps, interpret=True,
+        k_new=k_new, v_new=k_new,
+    )
+    assert np.isfinite(np.asarray(got[0])).all()
+    assert np.isfinite(np.asarray(got[2])).all()
+    # live slots must match the reference with the new token spliced in
+    want = ref.paged_decode_attention(
+        q, kv_pages, 0, table, lens_arr, ppr * ps, k_new=k_new, v_new=k_new
+    )
+    for b in (0, 2):
+        np.testing.assert_allclose(
+            np.asarray(got[b]), np.asarray(want[b]), rtol=3e-5, atol=3e-5
+        )
