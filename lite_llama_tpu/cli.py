@@ -125,10 +125,66 @@ def cmd_generate(args):
         print(f"device memory: {mem['used_gb']:.2f} / {mem['total_gb']:.2f} GB")
 
 
+def cmd_llava(args):
+    """Multimodal REPL (reference cli_llava.py:18-120): '/image <path>'
+    attaches an image to the next message; plain text chats normally."""
+    import jax.numpy as jnp
+
+    from .executor.llava_engine import LlavaEngine
+    from .generation.llava_generate import LlavaTextGenerator
+    from .utils.prompts import get_prompter
+
+    from transformers import AutoTokenizer
+
+    tokenizer = AutoTokenizer.from_pretrained(args.checkpoint)
+    engine = LlavaEngine.build(
+        args.checkpoint, dtype=jnp.bfloat16, max_reqs=args.max_batch,
+        page_size=args.page_size, decode_chunk=args.chunk,
+    )
+    gen = LlavaTextGenerator(engine, tokenizer)
+    prompter = get_prompter("llava", args.checkpoint)
+    print("Multimodal chat. '/image <path>' attaches an image; 'exit' quits.")
+    image = None
+    while True:
+        try:
+            user = input("\nyou> ").strip()
+        except EOFError:
+            break
+        if not user or user in ("exit", "quit"):
+            break
+        if user.startswith("/image "):
+            image = user[len("/image "):].strip()
+            print(f"[image attached: {image}]")
+            continue
+        prompt = prompter.insert_prompt(user, with_image=image is not None)
+        sys.stdout.write("assistant> ")
+        parts = []
+        stream = (
+            gen.text_completion_stream_mm(
+                [prompt], [image],
+                max_gen_len=args.max_gen_len,
+                temperature=args.temperature, top_p=args.top_p,
+            )
+            if image is not None
+            else gen.text_completion_stream(
+                [prompt], max_gen_len=args.max_gen_len,
+                temperature=args.temperature, top_p=args.top_p,
+            )
+        )
+        for frags in stream:
+            sys.stdout.write(frags[0])
+            sys.stdout.flush()
+            parts.append(frags[0])
+        prompter.update_last_reply("".join(parts))
+        image = None
+        print()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="lite_llama_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name, fn in (("chat", cmd_chat), ("generate", cmd_generate)):
+    for name, fn in (("chat", cmd_chat), ("generate", cmd_generate),
+                     ("llava", cmd_llava)):
         s = sub.add_parser(name)
         s.add_argument("checkpoint")
         s.add_argument("--temperature", type=float, default=0.6)
@@ -136,7 +192,8 @@ def main(argv=None):
         s.add_argument("--max-gen-len", type=int, default=512)
         s.add_argument("--max-batch", type=int, default=8)
         s.add_argument("--page-size", type=int, default=64)
-        s.add_argument("--chunk", type=int, default=8 if name == "chat" else 64)
+        s.add_argument("--chunk", type=int,
+                       default=8 if name in ("chat", "llava") else 64)
         s.set_defaults(fn=fn)
         if name == "generate":
             s.add_argument("-p", "--prompt", action="append")

@@ -240,6 +240,8 @@ def load_hf_checkpoint(ckpt_dir: str, cfg) -> dict:
     """HF checkpoint dir -> engine parameter tree (the reference's runtime
     loader path, model_executor.py:109-127, minus the offline step)."""
     sd = load_hf_safetensors(ckpt_dir)
+    if getattr(cfg, "model_type", "") == "llava":
+        return convert_hf_llava_state_dict(sd, cfg)
     prefix = "model." if any(k.startswith("model.") for k in sd) else ""
     return convert_hf_state_dict(sd, cfg, prefix=prefix)
 
