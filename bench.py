@@ -69,7 +69,12 @@ def main():
         decode_chunk=chunk,
         kv_quant=kv_quant,
     )
+    # Random weights sample EOS at random; disable it so every run measures
+    # the same fixed token count (otherwise throughput varies with RNG luck
+    # as early-finished slots idle out the batch tail).
+    engine._eos_array = jnp.asarray([-1], jnp.int32)
     gen = TextGenerator(engine)
+    gen.eos_ids = set()
     prompts = [
         rng.integers(0, cfg.vocab_size, size=prompt_len).tolist()
         for _ in range(bs)

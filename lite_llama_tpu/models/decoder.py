@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -58,12 +60,16 @@ class AttnContext(NamedTuple):
 
 def init_decoder_params(cfg, key, scale: float = 0.02) -> dict:
     """Random parameter tree (tests/benchmarks; real weights come from the
-    checkpoint loader). Randomness is generated HOST-side with numpy: on a
-    remote-compiled TPU backend every distinct jax.random.normal shape pays
-    a multi-second XLA compile, which made engine construction in benchmarks
-    look minutes-slow for no model-related reason."""
-    import numpy as _np
+    checkpoint loader). The whole tree is generated device-side inside ONE
+    jitted function: eager per-leaf jax.random.normal pays a multi-second
+    remote-compile round trip PER SHAPE, and host-side numpy RNG takes
+    minutes for 3B parameters on a single weak VM core."""
+    return jax.jit(
+        functools.partial(_init_decoder_params, cfg, scale=scale)
+    )(key)
 
+
+def _init_decoder_params(cfg, key, scale: float = 0.02) -> dict:
     L = cfg.num_hidden_layers
     H = cfg.hidden_size
     D = cfg.head_dim
@@ -71,18 +77,10 @@ def init_decoder_params(cfg, key, scale: float = 0.02) -> dict:
     I = cfg.intermediate_size
     V = cfg.vocab_size
     dt = cfg.dtype
-    seed = int(jax.random.key_data(key).ravel()[-1]) & 0x7FFFFFFF
-    rng = _np.random.default_rng(seed)
-    _n = iter(range(1 << 20))
+    ks = jax.random.split(key, 8)
 
-    class _K:  # placeholder "keys" to keep call sites unchanged
-        pass
-
-    ks = [_K() for _ in range(8)]
-
-    def init(_k, shape):
-        w = rng.standard_normal(shape, dtype=_np.float32) * scale
-        return jnp.asarray(w.astype(_np.float32)).astype(dt)
+    def init(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dt)
 
     layers = {
         "attn_norm": jnp.ones((L, H), dt),
