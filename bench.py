@@ -1,9 +1,14 @@
 """Headline benchmark: Llama-3.2-3B decode throughput at the reference's
 north-star config (bs=12, prompt~25, max_gen=1900 — BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is tokens/s relative to the reference's published 730.45
-tokens/s (lite_llama on an RTX 3090, README.md:118-124).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "vs_naive",
+"detail"}. ``vs_baseline`` is tokens/s relative to the reference's published
+730.45 tokens/s (lite_llama on an RTX 3090, README.md:118-124).
+``vs_naive`` is tokens/s relative to an XLA-naive HF-equivalent decoder run
+on the SAME chip (benchmarks/naive_baseline.py — dense no-donation KV,
+per-token jit, host sampling), the honest on-chip comparison BASELINE.md's
+">=4x" gate asks for. ``detail`` carries the INT8-weight, INT8-KV and naive
+rows so one driver run captures the whole matrix.
 
 Weights are randomly initialized (zero-egress environment — no checkpoint
 downloads); throughput is architecture- and shape-faithful, which is what the
@@ -12,12 +17,14 @@ metric measures. Sampling matches the reference benchmark defaults
 
 Env knobs: BENCH_MODEL (preset name), BENCH_BS, BENCH_GEN, BENCH_PROMPT,
 BENCH_PAGE, BENCH_CHUNK, BENCH_QUICK=1 (small smoke config),
-BENCH_QUANT=int8|fp8 (weight-only quantized matmuls),
-BENCH_KV_QUANT=1 (INT8 KV cache).
+BENCH_QUANT=int8|fp8 (main run uses quantized matmuls),
+BENCH_KV_QUANT=1|fp8 (main run uses a quantized KV cache),
+BENCH_EXTRAS=0 (skip the int8/int8-kv/naive side rows).
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import time
@@ -29,36 +36,10 @@ import numpy as np
 BASELINE_TOKENS_PER_S = 730.45  # reference north star (BASELINE.md)
 
 
-def main():
+def build_engine(cfg, params, bs, prompt_len, gen_len, page_size, chunk,
+                 kv_quant):
     from lite_llama_tpu.executor.engine import InferenceEngine
-    from lite_llama_tpu.generation.generate import TextGenerator
-    from lite_llama_tpu.models.decoder import init_decoder_params
-    from lite_llama_tpu.models.presets import get_preset
 
-    quick = os.environ.get("BENCH_QUICK") == "1"
-    model = os.environ.get("BENCH_MODEL", "llama-3.2-3b")
-    bs = int(os.environ.get("BENCH_BS", 12))
-    gen_len = int(os.environ.get("BENCH_GEN", 64 if quick else 1900))
-    prompt_len = int(os.environ.get("BENCH_PROMPT", 25))
-    page_size = int(os.environ.get("BENCH_PAGE", 64))
-    chunk = int(os.environ.get("BENCH_CHUNK", 128))
-
-    max_seq = 1 << (prompt_len + gen_len + 1).bit_length()
-    max_seq = max(256, min(max_seq, 4096))
-    cfg = get_preset(model, dtype=jnp.bfloat16, max_seq_len=max_seq)
-    if quick:
-        cfg.num_hidden_layers = 4
-
-    rng = np.random.default_rng(0)
-    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
-    quant = os.environ.get("BENCH_QUANT", "")
-    kv_env = os.environ.get("BENCH_KV_QUANT", "")
-    kv_quant = {"1": True, "int8": True, "fp8": "fp8"}.get(kv_env, False)
-    if quant:
-        from lite_llama_tpu.quant.qtensor import quantize_decoder_params
-
-        qdtype = jnp.int8 if quant == "int8" else jnp.float8_e4m3fn
-        params = quantize_decoder_params(params, qdtype, drop_originals=True)
     num_pages = bs * ((prompt_len + gen_len + page_size) // page_size + 1) + 16
     engine = InferenceEngine(
         cfg,
@@ -73,13 +54,14 @@ def main():
     # the same fixed token count (otherwise throughput varies with RNG luck
     # as early-finished slots idle out the batch tail).
     engine._eos_array = jnp.asarray([-1], jnp.int32)
+    return engine
+
+
+def run_engine(engine, prompts, gen_len, chunk):
+    from lite_llama_tpu.generation.generate import TextGenerator
+
     gen = TextGenerator(engine)
     gen.eos_ids = set()
-    prompts = [
-        rng.integers(0, cfg.vocab_size, size=prompt_len).tolist()
-        for _ in range(bs)
-    ]
-
     # Warm-up / compile (same shapes, few steps).
     for o in gen.generate_tokens(
         prompts, max_gen_len=min(gen_len, 2 * chunk + 2),
@@ -87,31 +69,122 @@ def main():
     ):
         assert o.token_ids
     jax.block_until_ready(engine.cache.kv_pages)
-
     t0 = time.perf_counter()
-    outs = gen.generate_tokens(prompts, max_gen_len=gen_len, temperature=0.6, top_p=0.9)
+    outs = gen.generate_tokens(
+        prompts, max_gen_len=gen_len, temperature=0.6, top_p=0.9
+    )
     jax.block_until_ready(engine.cache.kv_pages)
     dt = time.perf_counter() - t0
-
     total_out = sum(len(o.token_ids) for o in outs)
-    tps = total_out / dt
-    ms_per_tok = 1000.0 * dt / max(total_out, 1)
+    return {
+        "tokens_per_s": round(total_out / dt, 2),
+        "total_time_s": round(dt, 3),
+        "ms_per_token": round(1000.0 * dt / max(total_out, 1), 4),
+        "output_tokens": total_out,
+    }
+
+
+def main():
+    from lite_llama_tpu.models.decoder import init_decoder_params
+    from lite_llama_tpu.models.presets import get_preset
+    from lite_llama_tpu.quant.qtensor import quantize_decoder_params
+
+    quick = os.environ.get("BENCH_QUICK") == "1"
+    model = os.environ.get("BENCH_MODEL", "llama-3.2-3b")
+    bs = int(os.environ.get("BENCH_BS", 12))
+    gen_len = int(os.environ.get("BENCH_GEN", 64 if quick else 1900))
+    prompt_len = int(os.environ.get("BENCH_PROMPT", 25))
+    page_size = int(os.environ.get("BENCH_PAGE", 64))
+    chunk = int(os.environ.get("BENCH_CHUNK", 128))
+    extras = (
+        os.environ.get("BENCH_EXTRAS", "1") == "1"
+        and not quick
+        and jax.default_backend() == "tpu"
+    )
+
+    max_seq = 1 << (prompt_len + gen_len + 1).bit_length()
+    max_seq = max(256, min(max_seq, 32768))
+    cfg = get_preset(model, dtype=jnp.bfloat16, max_seq_len=max_seq)
+    if quick:
+        cfg.num_hidden_layers = 4
+
+    rng = np.random.default_rng(0)
+    prompts = [
+        rng.integers(0, cfg.vocab_size, size=prompt_len).tolist()
+        for _ in range(bs)
+    ]
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    quant = os.environ.get("BENCH_QUANT", "")
+    kv_env = os.environ.get("BENCH_KV_QUANT", "")
+    kv_quant = {"1": True, "int8": True, "fp8": "fp8"}.get(kv_env, False)
+
+    detail = {
+        "prompt_len": prompt_len,
+        "page_size": page_size,
+        "decode_chunk": chunk,
+    }
+
+    main_params = params
+    if quant:
+        qdtype = jnp.int8 if quant == "int8" else jnp.float8_e4m3fn
+        main_params = quantize_decoder_params(
+            params, qdtype, drop_originals=True
+        )
+    engine = build_engine(cfg, main_params, bs, prompt_len, gen_len,
+                          page_size, chunk, kv_quant)
+    main_row = run_engine(engine, prompts, gen_len, chunk)
+    detail.update(main_row)
+    tps = main_row["tokens_per_s"]
+
+    vs_naive = None
+    if extras and not quant:
+        # INT8 weight-only row (quantizes IN PLACE from the engine's live
+        # params to stay under the HBM budget, then rebuilds the engine).
+        live_params = engine.params
+        del engine
+        gc.collect()
+        q8 = quantize_decoder_params(live_params, jnp.int8,
+                                     drop_originals=True)
+        del live_params
+        gc.collect()
+        engine8 = build_engine(cfg, q8, bs, prompt_len, gen_len, page_size,
+                               chunk, kv_quant=False)
+        detail["int8_weights"] = run_engine(engine8, prompts, gen_len, chunk)
+        del engine8, q8
+        gc.collect()
+
+        # INT8-KV row (bf16 weights, quantized cache — Pallas kernel path).
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        engine_kv = build_engine(cfg, params, bs, prompt_len, gen_len,
+                                 page_size, chunk, kv_quant=True)
+        detail["int8_kv"] = run_engine(engine_kv, prompts, gen_len, chunk)
+        del engine_kv
+        gc.collect()
+
+        # Naive XLA baseline on the same chip (steady-state decode rate).
+        from benchmarks.naive_baseline import naive_decode_tps
+
+        naive = naive_decode_tps(
+            cfg, params, bs, prompt_len,
+            max_seq=min(max_seq, 2048),
+        )
+        detail["naive"] = {k: (round(v, 3) if isinstance(v, float) else v)
+                           for k, v in naive.items()}
+        vs_naive = round(tps / naive["tokens_per_s"], 3)
+        del params
+        gc.collect()
+
     tag = f" w{quant}" if quant else ""
     tag += f" kv-{'fp8' if kv_quant == 'fp8' else 'int8'}" if kv_quant else ""
     result = {
         "metric": f"tokens/s {model}{tag} bs={bs} gen={gen_len} ({jax.default_backend()})",
-        "value": round(tps, 2),
+        "value": tps,
         "unit": "tokens/s",
         "vs_baseline": round(tps / BASELINE_TOKENS_PER_S, 3),
-        "detail": {
-            "total_time_s": round(dt, 3),
-            "ms_per_token": round(ms_per_tok, 4),
-            "output_tokens": total_out,
-            "prompt_len": prompt_len,
-            "page_size": page_size,
-            "decode_chunk": chunk,
-        },
+        "detail": detail,
     }
+    if vs_naive is not None:
+        result["vs_naive"] = vs_naive
     print(json.dumps(result))
 
 

@@ -71,11 +71,16 @@ class _HashedBowEmbedder:
         self.dim = dim
 
     def encode(self, texts: Sequence[str]) -> np.ndarray:
+        import zlib
+
         out = np.zeros((len(texts), self.dim), dtype=np.float32)
         for i, t in enumerate(texts):
             for w in normalize_answer(t).split():
-                h = hash(w)
-                out[i, h % self.dim] += 1.0 if (h >> 32) & 1 else -1.0
+                # crc32, NOT builtin hash(): hash() is salted per process
+                # (PYTHONHASHSEED), which would make eval scores vary run
+                # to run despite the "deterministic" contract.
+                h = zlib.crc32(w.encode("utf-8"))
+                out[i, h % self.dim] += 1.0 if (h >> 16) & 1 else -1.0
         return out
 
 

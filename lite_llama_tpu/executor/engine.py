@@ -48,14 +48,6 @@ def next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
-def _pad1(x, n: int, fill):
-    """Pad a [B] device/np vector to [n] with ``fill``."""
-    x = np.asarray(x)
-    out = np.full((n,), fill, x.dtype)
-    out[: x.shape[0]] = x
-    return jnp.asarray(out)
-
-
 @dataclasses.dataclass
 class EngineStats:
     prefill_tokens: int = 0
@@ -76,27 +68,49 @@ class InferenceEngine:
         num_pages: Optional[int] = None,
         hbm_util: float = 0.9,
         decode_chunk: int = 32,
+        prefill_chunk: int = 2048,
         kv_quant=False,  # False | True/'int8' | 'fp8' (scale-free e4m3)
+        fuse_qkv: bool = True,
         forward_prefill=None,
         forward_decode=None,
         mesh=None,
         seed: int = 0,
     ):
+        from ..models.decoder import fuse_qkv_params
         from ..parallel.shardings import ShardingPolicy
 
         self.config = config
         self.shard = ShardingPolicy(mesh=mesh)
+        self.dp = self.shard.dp
+        if fuse_qkv:
+            # One [H, (Nq+2*Nkv)*D] matmul per layer instead of separate
+            # q / kv dots (shard-periodic head order; models/decoder.py).
+            if "layers" in params:
+                params = fuse_qkv_params(params, self.shard.tp)
+            elif "lm" in params and "layers" in params.get("lm", {}):
+                params = {**params,
+                          "lm": fuse_qkv_params(params["lm"], self.shard.tp)}
         self.params = self.shard.shard_params(config, params)
         params = self.params
         self.page_size = page_size
+        assert max_reqs % self.dp == 0, (max_reqs, self.dp)
         self.max_reqs = max_reqs
+        self.M_local = max_reqs // self.dp
         self.decode_chunk = decode_chunk
+        self.prefill_chunk = prefill_chunk
         self._fwd_prefill = forward_prefill or decoder_prefill
         self._fwd_decode = forward_decode or decoder_decode
         if num_pages is None:
             num_pages = self._auto_num_pages(hbm_util)
+        num_pages -= num_pages % self.dp  # equal per-group pools
         self.num_pages = num_pages
         self.kv_quant = kv_quant
+        # The policy handed to the forwards: inside the manual-dp shard_map
+        # activation constraints must be disabled (parallel/shardings.py).
+        self._mshard = (
+            dataclasses.replace(self.shard, manual_dp=True)
+            if self.dp > 1 else self.shard
+        )
         self.cache = self.shard.shard_cache(
             create_kv_cache(
                 config.num_hidden_layers,
@@ -108,19 +122,152 @@ class InferenceEngine:
                 max_seq_len=config.max_seq_len,
                 dtype=config.dtype,
                 quantized=kv_quant,
+                groups=self.dp,
             )
         )
         self._key = jax.random.PRNGKey(seed)
-        self._free_slots = list(range(max_reqs))
-        self._host_free_pages = num_pages
+        self._slots_by_group = [
+            list(range(g * self.M_local, (g + 1) * self.M_local))
+            for g in range(self.dp)
+        ]
+        self._pages_by_group = [num_pages // self.dp] * self.dp
         self.stats = EngineStats()
-        self._prefill_jit = jax.jit(self._prefill_step, donate_argnums=(1,))
-        self._chunk_jit = jax.jit(
-            self._decode_chunk, donate_argnums=(1,), static_argnames=("n_steps",)
+        from jax.sharding import PartitionSpec as PS
+
+        cs = (
+            self.shard.dp_cache_specs(self.cache) if self.dp > 1 else None
+        )
+        self._prefill_jit = jax.jit(
+            self._dp_wrap(
+                self._prefill_step,
+                in_specs=(PS(), cs, PS("dp", None), PS("dp"), PS("dp"),
+                          PS(), SamplingParams(PS("dp"), PS("dp"), PS("dp"))),
+                out_specs=(cs, PS("dp"), PS("dp", None), PS("dp")),
+            ),
+            donate_argnums=(1,),
+        )
+        self._chunk_jits = {}
+        # Long-prompt (chunked) prefill path.
+        self._alloc_jit = jax.jit(
+            self._dp_wrap(
+                alloc_prefill,
+                in_specs=(cs, PS("dp"), PS("dp")),
+                out_specs=cs,
+            ),
+            donate_argnums=(0,),
+        )
+        self._prefill_chunk_jit = jax.jit(
+            self._dp_wrap(
+                self._prefill_chunk_step,
+                in_specs=(PS(), cs, PS("dp", None), PS("dp"), PS("dp"),
+                          PS(), PS("dp", None)),
+                out_specs=(cs, PS("dp", None)),
+            ),
+            donate_argnums=(1, 6),
+        )
+        self._prefill_sample_jit = jax.jit(
+            self._dp_wrap(
+                self._prefill_sample,
+                in_specs=(PS("dp", None), PS(),
+                          SamplingParams(PS("dp"), PS("dp"), PS("dp"))),
+                out_specs=(PS("dp"), PS("dp")),
+            )
+        )
+        self._free_jit = jax.jit(
+            self._dp_wrap(
+                free_requests,
+                in_specs=(cs, PS("dp")),
+                out_specs=cs,
+            ),
+            donate_argnums=(0,),
         )
         self.pad_id = config.pad_token_id if config.pad_token_id is not None else 0
         eos = config.eos_token_ids
         self._eos_array = jnp.asarray(eos if eos else [-1], jnp.int32)
+
+    # -- data-parallel plumbing ------------------------------------------
+    def _dp_wrap(self, fn, in_specs, out_specs):
+        """shard_map the step function over the manual 'dp' axis (tp stays
+        auto — GSPMD places the tensor-parallel collectives from the param
+        shardings). Each dp shard runs the UNCHANGED single-group code on
+        its local cache slice and its contiguous block of batch rows —
+        request->group locality is guaranteed by the host-side layout
+        (_group_layout), so no cross-dp communication exists in the step."""
+        if self.dp == 1:
+            return fn
+        return jax.shard_map(
+            fn, mesh=self.shard.mesh, in_specs=in_specs,
+            out_specs=out_specs, axis_names={"dp"},
+        )
+
+    def _dp_key(self, key):
+        """Per-shard RNG inside manual-dp regions."""
+        if self.dp > 1:
+            return jax.random.fold_in(key, jax.lax.axis_index("dp"))
+        return key
+
+    def _group_layout(self, slots):
+        """Lay a batch of engine slots out as [dp, W] row blocks (flattened
+        to dp*W): rows [g*W, (g+1)*W) belong to dp group g, carrying LOCAL
+        slot ids; unused rows get the sentinel M_local (reads clamp, writes
+        drop). Returns (pos, req_local, W) where pos[i] is input row i's
+        layout position. With dp=1 this degenerates to the old pad-to-pow2
+        batch bucketing."""
+        groups = [[] for _ in range(self.dp)]
+        for i, s in enumerate(slots):
+            groups[s // self.M_local].append(i)
+        W = max(1, next_pow2(max(len(g) for g in groups)))
+        pos = np.zeros((len(slots),), np.int64)
+        req_local = np.full((self.dp * W,), self.M_local, np.int32)
+        for g, idxs in enumerate(groups):
+            for j, i in enumerate(idxs):
+                p = g * W + j
+                pos[i] = p
+                req_local[p] = slots[i] % self.M_local
+        return pos, req_local, W
+
+    # -- host capacity accounting (per dp group) --------------------------
+    @property
+    def _free_slots(self):
+        return [s for g in self._slots_by_group for s in g]
+
+    @property
+    def _host_free_pages(self):
+        return sum(self._pages_by_group)
+
+    def try_admit(self, total_len: int):
+        """Atomically place one request: pick the dp group with the most
+        free pages that has a free slot and room for ``total_len`` tokens;
+        reserve and return the slot, or None."""
+        need = cdiv(total_len, self.page_size)
+        best = None
+        for g in range(self.dp):
+            if self._slots_by_group[g] and self._pages_by_group[g] >= need:
+                if best is None or (
+                    self._pages_by_group[g] > self._pages_by_group[best]
+                ):
+                    best = g
+        if best is None:
+            return None
+        self._pages_by_group[best] -= need
+        return self._slots_by_group[best].pop(0)
+
+    def admit_requests(self, total_lens: Sequence[int]) -> List[int]:
+        """try_admit for a whole batch; raises (and rolls back) if any
+        request cannot be placed (the host-side guard — the in-jit allocator
+        is masked arithmetic and cannot raise)."""
+        slots: List[int] = []
+        for n in total_lens:
+            s = self.try_admit(n)
+            if s is None:
+                self.release_slots(slots, total_lens[: len(slots)])
+                raise RuntimeError(
+                    f"KV capacity exhausted: {len(slots)}/{len(total_lens)} "
+                    f"requests placed (free pages/group: {self._pages_by_group},"
+                    f" free slots/group: {[len(g) for g in self._slots_by_group]})"
+                )
+            slots.append(s)
+        return slots
 
     # -- construction -----------------------------------------------------
     @classmethod
@@ -160,12 +307,20 @@ class InferenceEngine:
             free = stats["bytes_limit"] * hbm_util - stats["bytes_in_use"]
             fit = int(free // per_page)
             return max(64, min(want, fit))
-        except Exception:
+        except Exception as e:  # pragma: no cover - runtime-specific
+            from ..utils.logger import get_logger
+
+            get_logger(__name__).warning(
+                "memory_stats() unavailable (%s); sizing KV pool for "
+                "max_reqs*max_seq_len=%d pages WITHOUT an HBM fit check — "
+                "this can oversubscribe device memory", e, want,
+            )
             return want
 
     # -- jitted step functions -------------------------------------------
     def _prefill_step(self, params, cache, ids, lens, req_ids, key, sampling):
         cfg = self.config
+        key = self._dp_key(key)
         cache = alloc_prefill(cache, req_ids, lens)
         ctx = AttnContext(
             table_rows=cache.page_table[req_ids],
@@ -173,16 +328,45 @@ class InferenceEngine:
             start_pos=jnp.zeros_like(lens),
             chunk_lens=lens,
         )
-        logits, kv = self._fwd_prefill(
+        last, kv = self._fwd_prefill(
             params, cfg, cache.kv_pages, ctx, input_ids=ids,
-            shard=self.shard,
+            shard=self._mshard, last_only=True,
         )
         cache = dataclasses.replace(cache, kv_pages=kv)
-        B = ids.shape[0]
-        last = logits[jnp.arange(B), lens - 1]
         tok = sample(last, key, sampling)
         lp = log_softmax_gather(last, tok)
         return cache, tok, last, lp
+
+    def _prefill_chunk_step(
+        self, params, cache, ids_chunk, lens, req_ids, start, last_logits
+    ):
+        """One bucketed chunk of a long prompt: positions [start, start+W)
+        of every request (requests already fully consumed run fully masked).
+        Carries the running last-position logits so sampling happens once
+        after the final chunk."""
+        cfg = self.config
+        W = ids_chunk.shape[1]
+        chunk_lens = jnp.clip(lens - start, 0, W)
+        ctx = AttnContext(
+            table_rows=cache.page_table[req_ids],
+            seq_lens=lens,
+            start_pos=jnp.minimum(lens, start),  # [B] history per request
+            chunk_lens=chunk_lens,
+        )
+        logits, kv = self._fwd_prefill(
+            params, cfg, cache.kv_pages, ctx, input_ids=ids_chunk,
+            shard=self._mshard, chunked=True, last_only=True,
+        )
+        cache = dataclasses.replace(cache, kv_pages=kv)
+        ends_here = (lens > start) & (lens <= start + W)
+        last_logits = jnp.where(ends_here[:, None], logits, last_logits)
+        return cache, last_logits
+
+    def _prefill_sample(self, last_logits, key, sampling):
+        key = self._dp_key(key)
+        tok = sample(last_logits, key, sampling)
+        lp = log_softmax_gather(last_logits, tok)
+        return tok, lp
 
     def _decode_chunk(
         self, params, cache, req_ids, tok, done, stop_lens, key, sampling,
@@ -194,6 +378,7 @@ class InferenceEngine:
         cfg = self.config
         eos = self._eos_array
         pad = self.pad_id
+        key = self._dp_key(key)
 
         def body(carry, xs):
             step_key, step_i = xs
@@ -211,7 +396,7 @@ class InferenceEngine:
             )
             logits, kv = self._fwd_decode(
                 params, cfg, cache.kv_pages, ctx, input_ids=tok,
-                shard=self.shard,
+                shard=self._mshard,
             )
             cache = dataclasses.replace(cache, kv_pages=kv)
             next_tok = sample(logits, step_key, sampling)
@@ -239,32 +424,40 @@ class InferenceEngine:
         return k
 
     def acquire_slots(self, n: int) -> List[int]:
+        """Legacy slot-only acquisition (round-robin over dp groups);
+        prefer admit_requests, which also reserves pages per group."""
         if len(self._free_slots) < n:
             raise RuntimeError(
                 f"request slots exhausted: want {n}, free {len(self._free_slots)}"
             )
-        return [self._free_slots.pop(0) for _ in range(n)]
+        out = []
+        g = 0
+        while len(out) < n:
+            if self._slots_by_group[g % self.dp]:
+                out.append(self._slots_by_group[g % self.dp].pop(0))
+            g += 1
+        return out
 
     def release_slots(self, slots: Sequence[int], lens: Sequence[int]):
-        if not hasattr(self, "_free_jit"):
-            self._free_jit = jax.jit(free_requests, donate_argnums=(0,))
-        self.cache = self._free_jit(
-            self.cache, jnp.asarray(slots, jnp.int32)
-        )
+        if not slots:
+            return
+        pos, req_local, W = self._group_layout(slots)
+        self.cache = self._free_jit(self.cache, jnp.asarray(req_local))
         for s, n in zip(slots, lens):
-            self._host_free_pages += cdiv(n, self.page_size)
-        self._free_slots.extend(slots)
+            g = s // self.M_local
+            self._pages_by_group[g] += cdiv(n, self.page_size)
+            self._slots_by_group[g].append(s)
 
     def reserve_pages(self, total_lens: Sequence[int]):
-        """Host-side capacity guard: the in-jit allocator cannot fail, so
-        admission control happens here (improves on the reference, which
-        warns and returns None that callers ignore — mem_manager.py:196-210)."""
+        """Legacy single-pool capacity guard (dp=1 only; dp>1 callers must
+        use admit_requests, which places each request in a group)."""
+        assert self.dp == 1, "use admit_requests under data parallelism"
         need = sum(cdiv(n, self.page_size) for n in total_lens)
-        if need > self._host_free_pages:
+        if need > self._pages_by_group[0]:
             raise RuntimeError(
-                f"KV pool exhausted: need {need} pages, free {self._host_free_pages}"
+                f"KV pool exhausted: need {need} pages, free {self._pages_by_group[0]}"
             )
-        self._host_free_pages -= need
+        self._pages_by_group[0] -= need
 
     def prefill(self, token_lists: Sequence[Sequence[int]], sampling, slots):
         """Pad to a bucket, run jitted prefill, sample first tokens.
@@ -276,36 +469,74 @@ class InferenceEngine:
         admitting odd batch sizes reuses a handful of compiled shapes
         instead of paying a multi-second XLA compile per (B, S) pair."""
         B = len(token_lists)
-        Bp = next_pow2(B)
-        lens = np.zeros((Bp,), np.int32)
-        lens[:B] = [len(t) for t in token_lists]
-        S = next_pow2(int(lens.max()))
-        ids = np.full((Bp, S), self.pad_id, np.int32)
-        for i, t in enumerate(token_lists):
-            ids[i, : len(t)] = t
-        slots_p = list(slots) + [self.max_reqs] * (Bp - B)
-        samp_p = sampling
-        if Bp != B:
-            samp_p = SamplingParams(
-                temperature=_pad1(sampling.temperature, Bp, 1.0),
-                top_p=_pad1(sampling.top_p, Bp, 1.0),
-                top_k=_pad1(sampling.top_k, Bp, 0),
-            )
-        self.cache, tok, last, lp = self._prefill_jit(
-            self.params,
-            self.cache,
-            jnp.asarray(ids),
-            jnp.asarray(lens),
-            jnp.asarray(slots_p, jnp.int32),
-            self._next_key(),
-            samp_p,
+        pos, req_local, W = self._group_layout(slots)
+        Bl = self.dp * W  # layout rows (group-blocked, pow2 per group)
+        lens = np.zeros((Bl,), np.int32)
+        lens[pos] = [len(t) for t in token_lists]
+        S_max = int(lens.max())
+
+        def lay1(x, fill, dtype):
+            out = np.full((Bl,), fill, dtype)
+            out[pos] = np.asarray(x)
+            return jnp.asarray(out)
+
+        samp_p = SamplingParams(
+            temperature=lay1(sampling.temperature, 1.0, np.float32),
+            top_p=lay1(sampling.top_p, 1.0, np.float32),
+            top_k=lay1(sampling.top_k, 0, np.int32),
         )
+        req_ids = jnp.asarray(req_local)
+        lens_arr = jnp.asarray(lens)
+        ids_rows = np.asarray(pos)
+
+        if S_max > self.prefill_chunk:
+            # Long prompts: bucketed chunks through the paged-history
+            # attention path — activation/VMEM footprint independent of
+            # prompt length, and a 33k prompt pads to the next 2k chunk
+            # instead of the next power of two.
+            Wc = self.prefill_chunk
+            n_chunks = cdiv(S_max, Wc)
+            ids = np.full((Bl, n_chunks * Wc), self.pad_id, np.int32)
+            for i, t in enumerate(token_lists):
+                ids[ids_rows[i], : len(t)] = t
+            self.cache = self._alloc_jit(self.cache, req_ids, lens_arr)
+            last_logits = jnp.zeros(
+                (Bl, self.config.vocab_size), jnp.float32
+            )
+            for ci in range(n_chunks):
+                self.cache, last_logits = self._prefill_chunk_jit(
+                    self.params,
+                    self.cache,
+                    jnp.asarray(ids[:, ci * Wc : (ci + 1) * Wc]),
+                    lens_arr,
+                    req_ids,
+                    jnp.asarray(ci * Wc, jnp.int32),
+                    last_logits,
+                )
+            tok, lp = self._prefill_sample_jit(
+                last_logits, self._next_key(), samp_p
+            )
+            last = last_logits
+        else:
+            S = next_pow2(S_max)
+            ids = np.full((Bl, S), self.pad_id, np.int32)
+            for i, t in enumerate(token_lists):
+                ids[ids_rows[i], : len(t)] = t
+            self.cache, tok, last, lp = self._prefill_jit(
+                self.params,
+                self.cache,
+                jnp.asarray(ids),
+                lens_arr,
+                req_ids,
+                self._next_key(),
+                samp_p,
+            )
         self.stats.prefill_tokens += int(lens.sum())
         return (
-            np.asarray(tok)[:B],
-            lens[:B],
-            last[:B],
-            np.asarray(lp)[:B],
+            np.asarray(tok)[pos],
+            lens[pos],
+            np.asarray(last)[pos],
+            np.asarray(lp)[pos],
         )
 
     def decode(self, slots, tok, done, stop_lens, sampling, n_steps: int):
@@ -317,25 +548,86 @@ class InferenceEngine:
         tail length (an unlucky tail used to pay a multi-second XLA compile
         mid-generation). The true count rides in as a traced limit: overshoot
         steps execute fully masked (state frozen), and their rows are
-        trimmed from the result."""
-        run_steps = (
-            self.decode_chunk
-            if n_steps >= self.decode_chunk
-            else next_pow2(n_steps)
+        trimmed from the result. ``n_steps > decode_chunk`` loops internally
+        until the full count is consumed (callers decrement by n_steps, so
+        silently clamping would truncate generations).
+
+        Rows are internally re-laid out into dp-group blocks (pad rows run
+        fully masked) and results are returned in caller order."""
+        pos, req_local, W = self._group_layout(slots)
+        Bl = self.dp * W
+
+        def lay(x, fill, dtype):
+            out = np.full((Bl,), fill, dtype)
+            out[pos] = np.asarray(x)
+            return jnp.asarray(out)
+
+        tok_l = lay(tok, 0, np.int32)
+        done_l = lay(done, True, bool)  # pad rows are born done
+        stop_l = lay(stop_lens, 0, np.int32)
+        samp_l = SamplingParams(
+            temperature=lay(sampling.temperature, 1.0, np.float32),
+            top_p=lay(sampling.top_p, 1.0, np.float32),
+            top_k=lay(sampling.top_k, 0, np.int32),
         )
-        self.cache, tok, done, toks, lps = self._chunk_jit(
-            self.params,
-            self.cache,
-            jnp.asarray(slots, jnp.int32),
-            tok,
-            done,
-            jnp.asarray(stop_lens, jnp.int32),
-            self._next_key(),
-            sampling,
-            jnp.asarray(n_steps, jnp.int32),
-            n_steps=run_steps,
-        )
-        out = np.asarray(toks)[:n_steps]
-        self.stats.chunks += 1
+        req_ids = jnp.asarray(req_local)
+
+        all_toks, all_lps = [], []
+        remaining = n_steps
+        while remaining > 0:
+            n = min(remaining, self.decode_chunk)
+            run_steps = (
+                self.decode_chunk
+                if n >= self.decode_chunk
+                else next_pow2(n)
+            )
+            self.cache, tok_l, done_l, toks, lps = self._get_chunk_jit(
+                run_steps
+            )(
+                self.params,
+                self.cache,
+                req_ids,
+                tok_l,
+                done_l,
+                stop_l,
+                self._next_key(),
+                samp_l,
+                jnp.asarray(n, jnp.int32),
+            )
+            all_toks.append(np.asarray(toks)[:n])
+            all_lps.append(np.asarray(lps)[:n])
+            self.stats.chunks += 1
+            remaining -= n
+        out = np.concatenate(all_toks, axis=0)[:, pos]
+        lps_out = np.concatenate(all_lps, axis=0)[:, pos]
         self.stats.decode_tokens += int(out.shape[0] * out.shape[1])
-        return tok, done, out, np.asarray(lps)[:n_steps]
+        return (
+            jnp.asarray(np.asarray(tok_l)[pos]),
+            jnp.asarray(np.asarray(done_l)[pos]),
+            out,
+            lps_out,
+        )
+
+    def _get_chunk_jit(self, n_steps: int):
+        """The decode chunk is compiled per static step count; with dp > 1
+        each variant is wrapped in the manual-dp shard_map (shard_map has no
+        static-kwarg passthrough, so the static binds via partial first)."""
+        if n_steps not in self._chunk_jits:
+            from functools import partial
+            from jax.sharding import PartitionSpec as PS
+
+            fn = partial(self._decode_chunk, n_steps=n_steps)
+            cs = (
+                self.shard.dp_cache_specs(self.cache)
+                if self.dp > 1 else None
+            )
+            sp = SamplingParams(PS("dp"), PS("dp"), PS("dp"))
+            wrapped = self._dp_wrap(
+                fn,
+                in_specs=(PS(), cs, PS("dp"), PS("dp"), PS("dp"),
+                          PS("dp"), PS(), sp, PS()),
+                out_specs=(cs, PS("dp"), PS("dp"), PS(None, "dp"),
+                           PS(None, "dp")),
+            )
+            self._chunk_jits[n_steps] = jax.jit(wrapped, donate_argnums=(1,))
+        return self._chunk_jits[n_steps]

@@ -26,8 +26,11 @@ from .engine import InferenceEngine, next_pow2
 from .kv_cache import alloc_prefill
 
 
-def _fwd_prefill_text(params, cfg, kv_pages, ctx, input_ids=None, shard=None):
-    return llava_prefill(params, cfg, kv_pages, ctx, input_ids, shard=shard)
+def _fwd_prefill_text(
+    params, cfg, kv_pages, ctx, input_ids=None, shard=None, **kw
+):
+    return llava_prefill(params, cfg, kv_pages, ctx, input_ids, shard=shard,
+                         **kw)
 
 
 def _fwd_decode(params, cfg, kv_pages, ctx, input_ids=None, shard=None):

@@ -44,6 +44,7 @@ class Request:
     # runtime state
     slot: Optional[int] = None
     output_tokens: List[int] = dataclasses.field(default_factory=list)
+    output_logprobs: List[float] = dataclasses.field(default_factory=list)
     state: str = "waiting"  # waiting | running | done
     finish_reason: Optional[str] = None
     max_total: int = 0
@@ -55,6 +56,7 @@ class Request:
         return {
             "req_id": self.req_id,
             "tokens": self.output_tokens,
+            "logprobs": self.output_logprobs,
             "finish_reason": self.finish_reason,
         }
 
@@ -76,11 +78,11 @@ class ContinuousBatchingScheduler:
         self.done: List[Request] = []
         self._ids = itertools.count()
         M = engine.max_reqs
-        # Fixed-width decode state (one row per engine slot).
-        self._tok = jnp.zeros((M,), jnp.int32)
+        # Per-slot decode state (host mirrors; the decode batch is gathered
+        # from these at an adaptive pow-2 width each chunk).
+        self._tok = np.zeros((M,), np.int32)
         self._done_mask = np.ones((M,), bool)  # empty slots count as done
         self._stop_lens = np.zeros((M,), np.int32)
-        self._sampling = SamplingParams.make(M)
         self._samp_host = {
             "temperature": np.full((M,), 0.6, np.float32),
             "top_p": np.full((M,), 0.9, np.float32),
@@ -126,25 +128,22 @@ class ContinuousBatchingScheduler:
     def _admit(self) -> None:
         eng = self.engine
         batch: List[Request] = []
-        while (
-            self.waiting
-            and len(batch) < self.max_prefill_batch
-            and len(batch) < len(eng._free_slots)
-        ):
+        while self.waiting and len(batch) < self.max_prefill_batch:
             r = self.waiting[0]
             max_total = min(
                 len(r.prompt_tokens) + r.max_gen_len, eng.config.max_seq_len
             )
-            need = cdiv(max_total, eng.page_size)
-            if need > eng._host_free_pages:
+            # Atomic slot + page placement (group-aware under dp).
+            slot = eng.try_admit(max_total)
+            if slot is None:
                 break  # not enough KV room yet; wait for completions
-            eng._host_free_pages -= need
             r.max_total = max_total
+            r.slot = slot
             self.waiting.popleft()
             batch.append(r)
         if not batch:
             return
-        slots = self.engine.acquire_slots(len(batch))
+        slots = [r.slot for r in batch]
         sampling = SamplingParams(
             temperature=jnp.asarray(
                 [r.temperature for r in batch], jnp.float32
@@ -162,8 +161,9 @@ class ContinuousBatchingScheduler:
             r.first_token_at = now
             tok = int(first_tok[i])
             r.output_tokens.append(tok)
+            r.output_logprobs.append(float(lp0[i]))
             self.running[slot] = r
-            self._tok = self._tok.at[slot].set(tok)
+            self._tok[slot] = tok
             self._stop_lens[slot] = r.max_total
             for k, v in (
                 ("temperature", r.temperature),
@@ -177,52 +177,61 @@ class ContinuousBatchingScheduler:
             self._done_mask[slot] = done_now
             if done_now:
                 self._finish(r, "stop" if tok in self._eos_ids() else "length")
-        self._sampling = SamplingParams(
-            temperature=jnp.asarray(self._samp_host["temperature"]),
-            top_p=jnp.asarray(self._samp_host["top_p"]),
-            top_k=jnp.asarray(self._samp_host["top_k"]),
-        )
 
     def _decode_chunk(self, on_tokens) -> None:
+        """Decode only the live slots (adaptive width).
+
+        Always decoding at full ``max_reqs`` width paid max_reqs rows of
+        attention + sampling even with one live request; the engine buckets
+        the live rows to a pow-2 width per dp group (engine._group_layout),
+        keeping the compiled-shape count bounded while making low-occupancy
+        decode proportionally cheaper."""
         eng = self.engine
         M = eng.max_reqs
-        slots = list(range(M))
+        live = [s for s in range(M) if not self._done_mask[s]]
+        if not live:
+            return
+        idx = np.asarray(live, np.int32)
+        sampling = SamplingParams(
+            temperature=jnp.asarray(self._samp_host["temperature"][idx]),
+            top_p=jnp.asarray(self._samp_host["top_p"][idx]),
+            top_k=jnp.asarray(self._samp_host["top_k"][idx]),
+        )
         tok, done, toks, lps = eng.decode(
-            slots,
-            self._tok,
-            jnp.asarray(self._done_mask),
-            self._stop_lens.tolist(),
-            self._sampling,
+            live,
+            jnp.asarray(self._tok[idx]),
+            jnp.asarray(np.zeros((len(live),), bool)),
+            self._stop_lens[idx].tolist(),
+            sampling,
             n_steps=self.chunk_steps,
         )
-        self._tok = tok
-        new_done = np.array(done)
+        new_done = np.asarray(done)
+        self._tok[idx] = np.asarray(tok)
         eos = self._eos_ids()
         finished: List[Request] = []
-        for slot, r in list(self.running.items()):
-            if self._done_mask[slot]:
-                continue
+        for col, slot in enumerate(live):
+            r = self.running[slot]
             room = r.max_total - len(r.prompt_tokens) - len(r.output_tokens)
-            row = [int(t) for t in toks[:, slot]][: max(room, 0)]
+            row = [int(t) for t in toks[:, col]][: max(room, 0)]
             emitted = []
             for t in row:
                 emitted.append(t)
                 if t in eos:
                     break
             r.output_tokens.extend(emitted)
+            r.output_logprobs.extend(
+                float(v) for v in lps[: len(emitted), col]
+            )
             if on_tokens and emitted:
                 on_tokens(r, emitted)
             hit_eos = bool(emitted and emitted[-1] in eos)
             out_len = len(r.prompt_tokens) + len(r.output_tokens)
-            if hit_eos or out_len >= r.max_total or new_done[slot]:
+            if hit_eos or out_len >= r.max_total or new_done[col]:
                 finished.append(r)
+            self._done_mask[slot] = bool(new_done[col])
         for r in finished:
             self._finish(r, "stop" if r.output_tokens and
                          r.output_tokens[-1] in eos else "length")
-        self._done_mask = np.array(new_done)
-        for slot in range(M):
-            if slot not in self.running:
-                self._done_mask[slot] = True
 
     def _finish(self, r: Request, reason: str) -> None:
         r.state = "done"

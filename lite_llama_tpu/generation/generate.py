@@ -73,8 +73,7 @@ class TextGenerator:
         max_total = [
             min(l + max_gen_len, eng.config.max_seq_len) for l in lens
         ]
-        eng.reserve_pages(max_total)
-        slots = eng.acquire_slots(B)
+        slots = eng.admit_requests(max_total)
         sampling = _make_sampling(B, temperature, top_p, top_k)
 
         first_tok, lens_arr, _, lp0 = eng.prefill(prompt_tokens, sampling, slots)
@@ -107,11 +106,19 @@ class TextGenerator:
             toks_i = self._truncate_at_eos(toks_i)
             finish = "stop" if (toks_i and toks_i[-1] in self.eos_ids) else "length"
             ids = (list(prompt_tokens[i]) if echo else []) + toks_i
+            lps_i = None
+            if logprobs:
+                lps_i = out_lps[i][: len(toks_i)]
+                if echo:
+                    # Keep token_ids and logprobs index-aligned: prompt
+                    # positions get None (prompt logprobs are not computed —
+                    # prefill unembeds only the last position).
+                    lps_i = [None] * len(prompt_tokens[i]) + lps_i
             results.append(
                 CompletionOutput(
                     token_ids=ids,
                     text=self._decode(ids),
-                    logprobs=out_lps[i][: len(toks_i)] if logprobs else None,
+                    logprobs=lps_i,
                     finish_reason=finish,
                 )
             )
@@ -132,8 +139,7 @@ class TextGenerator:
         B = len(prompt_tokens)
         lens = [len(t) for t in prompt_tokens]
         max_total = [min(l + max_gen_len, eng.config.max_seq_len) for l in lens]
-        eng.reserve_pages(max_total)
-        slots = eng.acquire_slots(B)
+        slots = eng.admit_requests(max_total)
         sampling = _make_sampling(B, temperature, top_p, top_k)
         try:
             first_tok, _, _, lp0 = eng.prefill(prompt_tokens, sampling, slots)

@@ -56,8 +56,7 @@ class LlavaTextGenerator(TextGenerator):
         max_total = [
             min(l + max_gen_len, eng.config.max_seq_len) for l in exp_lens
         ]
-        eng.reserve_pages(max_total)
-        slots = eng.acquire_slots(B)
+        slots = eng.admit_requests(max_total)
         sampling = _make_sampling(B, temperature, top_p, top_k)
         try:
             first_tok, lens, _, lp0 = eng.prefill_multimodal(

@@ -76,26 +76,45 @@ def sample(
     ``approx_max_k`` (one O(V) pass), and exact top-k/top-p filtering + the
     categorical draw happen in the [B, nucleus_k] subset. Nucleus truncation
     beyond rank-64 tokens is a negligible distribution change for real
-    temperatures (p(rank>64) ~ tail mass past top-p anyway); user top_k
-    clamps to nucleus_k.
+    temperatures (p(rank>64) ~ tail mass past top-p anyway).
+
+    Exactness fallback: when any request asks for ``top_k > nucleus_k`` or a
+    near-untruncated distribution at high temperature (``temperature >= 1.5``
+    with ``top_p >= 0.99``, where rank-64 truncation visibly reshapes the
+    tail), the whole batch falls back to the exact full-sort path via
+    ``lax.cond`` — the slow path costs only when someone opts into settings
+    that need it (tests/test_sampling_dist.py checks both regimes).
     """
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     temp = jnp.maximum(params.temperature, 1e-6)[:, None]
-    vals, idxs = jax.lax.approx_max_k(
-        logits / temp, nucleus_k, recall_target=0.99, aggregate_to_topk=True
-    )  # [B, k] descending
-    j = jnp.arange(nucleus_k, dtype=jnp.int32)[None, :]
-    # top-k within the candidate set (0 = disabled)
-    k = jnp.where(params.top_k > 0, jnp.minimum(params.top_k, nucleus_k),
-                  nucleus_k)
-    keep = j < k[:, None]
-    # top-p within the candidate set
-    probs = jax.nn.softmax(jnp.where(keep, vals, -jnp.inf), axis=-1)
-    csum = jnp.cumsum(probs, axis=-1)
-    keep &= (csum - probs) < params.top_p[:, None]
-    masked = jnp.where(keep, vals, -jnp.inf)
-    choice = jax.random.categorical(key, masked, axis=-1)  # [B]
-    sampled = jnp.take_along_axis(idxs, choice[:, None], axis=-1)[:, 0]
+    scaled = logits / temp
+
+    def approx_path(scaled, key):
+        vals, idxs = jax.lax.approx_max_k(
+            scaled, nucleus_k, recall_target=0.99, aggregate_to_topk=True
+        )  # [B, k] descending
+        j = jnp.arange(nucleus_k, dtype=jnp.int32)[None, :]
+        # top-k within the candidate set (0 = disabled)
+        k = jnp.where(params.top_k > 0, jnp.minimum(params.top_k, nucleus_k),
+                      nucleus_k)
+        keep = j < k[:, None]
+        # top-p within the candidate set
+        probs = jax.nn.softmax(jnp.where(keep, vals, -jnp.inf), axis=-1)
+        csum = jnp.cumsum(probs, axis=-1)
+        keep &= (csum - probs) < params.top_p[:, None]
+        masked = jnp.where(keep, vals, -jnp.inf)
+        choice = jax.random.categorical(key, masked, axis=-1)  # [B]
+        return jnp.take_along_axis(idxs, choice[:, None], axis=-1)[:, 0]
+
+    def exact_path(scaled, key):
+        masked = top_p_mask(top_k_mask(scaled, params.top_k), params.top_p)
+        return jax.random.categorical(key, masked, axis=-1)
+
+    needs_exact = jnp.any(
+        (params.top_k > nucleus_k)
+        | ((params.temperature >= 1.5) & (params.top_p >= 0.99))
+    )
+    sampled = jax.lax.cond(needs_exact, exact_path, approx_path, scaled, key)
     return jnp.where(
         params.temperature <= 0.0, greedy_tok, sampled.astype(jnp.int32)
     )

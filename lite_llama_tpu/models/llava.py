@@ -135,6 +135,8 @@ def llava_prefill(
     has_image: Optional[jax.Array] = None,  # bool [B]
     raw_lens: Optional[jax.Array] = None,  # int32 [B] — pre-expansion lengths
     shard=None,
+    chunked: bool = False,
+    last_only: bool = False,
 ):
     """Multimodal prefill: encode -> merge -> LM prefill with inputs_embeds.
 
@@ -161,4 +163,5 @@ def llava_prefill(
     return decoder_prefill(
         params["lm"], cfg, kv_pages, ctx,
         inputs_embeds=embeds, positions=positions, shard=shard,
+        chunked=chunked, last_only=last_only,
     )

@@ -62,14 +62,37 @@ def prefill_attention(q, k, v, seq_lens, sm_scale=None):
     return ref.prefill_attention(q, k, v, seq_lens, sm_scale)
 
 
+def chunked_prefill_attention(
+    q, k, v, chunk_lens, start_pos, kv_pool, layer, page_table, sm_scale=None
+):
+    """Chunk queries attend pool history [0, start_pos) + causal chunk
+    prefix. Pallas streams history pages from the pool; quantized or
+    dtype-mismatched pools fall back to the XLA dense-gather reference."""
+    if (
+        _use_pallas()
+        and not kv_pool.quantized
+        and (kv_pool.pages.dtype == k.dtype or q.dtype == jax.numpy.float32)
+    ):
+        from . import attention_prefill
+
+        return attention_prefill.flash_prefill_chunked(
+            q, k, v, chunk_lens, start_pos, kv_pool, layer, page_table,
+            sm_scale,
+        )
+    return ref.chunked_prefill_attention(
+        q, k, v, chunk_lens, start_pos, kv_pool, layer, page_table, sm_scale
+    )
+
+
 def paged_decode_attention(
     q, kv_pool, layer, page_table, seq_lens,
     max_seq_len=None, sm_scale=None, k_new=None, v_new=None,
 ):
-    # INT8+scales pools use the XLA gather path (a flat per-column scale
-    # vector is not expressible in Mosaic's vector layouts); bf16 and
-    # scale-free fp8 pools ride the Pallas kernel.
-    if _use_pallas() and not kv_pool.quantized:
+    # bf16, scale-free fp8 AND int8+scales pools all ride the Pallas kernel:
+    # int8 scales are DMA'd per page as lane-dim segments and applied in the
+    # score domain (attention_decode._decode_kernel), preserving the int8
+    # bandwidth saving end to end.
+    if _use_pallas():
         from . import attention_decode
 
         return attention_decode.paged_flash_decode(

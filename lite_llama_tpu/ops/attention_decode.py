@@ -70,20 +70,34 @@ def _decode_kernel(
     # inputs
     q_ref,  # [1, Nq, D] VMEM (this request's q)
     kv_pages_ref,  # [L, 2, T, Hkv*D] HBM (K/V planes, flat token rows)
+    # then, when quantized: kv_scales_ref [L, 2, T, Hkv] HBM fp32
     # outputs
-    out_ref,  # [1, Nq, D] VMEM
-    m_ref,  # [1, Nq, 128] VMEM fp32 (running max, exp2 domain; col 0 valid)
-    l_ref,  # [1, Nq, 128] VMEM fp32 (softmax denominator; col 0 valid)
+    # out_ref [1, Nq, D] VMEM; m_ref/l_ref [1, Nq, 128] VMEM fp32 (running
+    # max / denominator in the exp2 domain; col 0 valid)
     # scratch
-    kv_buf,  # [N_BUF, UNROLL, 2, ps, Hkv*D] VMEM (page-major, K/V halves)
-    sems,  # DMA sems [N_BUF] (shared by all page copies of a block)
-    *,
+    # kv_buf [N_BUF, UNROLL, 2, ps, Hkv*D] VMEM (page-major, K/V halves);
+    # when quantized: scale_buf [N_BUF, UNROLL, 2, ps, SCALE_LANES] bf16 —
+    # one page's scales are a DMA-aligned [ps, 128] slab (see
+    # executor/kv_cache.py KVPool docstring for why narrower scale layouts
+    # cannot be DMA'd), and dequant happens on the [tokens, Hkv, D] 3-D
+    # view via a minor-dim broadcast (a flat [Wp] per-score-column scale
+    # vector is NOT expressible in Mosaic's vector layouts — probed:
+    # reshapes (Wp, 1) / (1, Wp) of a [ps, Hkv] tile fail to compile, while
+    # tile * scale[..., None] lowers fine);
+    # sems: DMA sems [N_BUF] (shared by all copies of a block)
+    *rest,
     sm_scale: float,
     page_size: int,
     num_kv_heads: int,
     UNROLL: int,
     mat_dtype,
+    quantized: bool = False,
 ):
+    if quantized:
+        (kv_scales_ref, out_ref, m_ref, l_ref, kv_buf, scale_buf, sems) = rest
+    else:
+        (out_ref, m_ref, l_ref, kv_buf, sems) = rest
+        kv_scales_ref = scale_buf = None
     b = pl.program_id(0)
     B = pl.num_programs(0)
     layer = layer_ref[0]
@@ -125,6 +139,17 @@ def _decode_kernel(
                         sems.at[slot],
                     )
                 )
+            if quantized:
+                # One page's scales = a contiguous [ps, SCALE_LANES] slab of
+                # the [L, 2, T, SCALE_LANES] planes (same flat token rows).
+                for c in range(2):
+                    copies.append(
+                        pltpu.make_async_copy(
+                            kv_scales_ref.at[layer, c, pl.ds(row0, ps)],
+                            scale_buf.at[slot, f, c],
+                            sems.at[slot],
+                        )
+                    )
         return copies
 
     def start_block(bb, ii, slot):
@@ -180,8 +205,25 @@ def _decode_kernel(
 
             # [UNROLL, 2, ps, Hkv*D] halves -> [(f t h), D] via tile-perfect
             # lane-split reshapes (no cross-lane shuffles).
-            k = kv_buf[slot, :, 0].reshape(Wp, D).astype(mat_dtype)
-            v = kv_buf[slot, :, 1].reshape(Wp, D).astype(mat_dtype)
+            if quantized:
+                # Dequantize the int8 tiles on the [tokens, Hkv, D] 3-D view
+                # (minor-dim broadcast — lowers without cross-lane shuffles).
+                SL = scale_buf.shape[-1]
+
+                def deq(c):
+                    t3 = kv_buf[slot, :, c].reshape(
+                        UNROLL * ps, Hkv, D
+                    ).astype(jnp.float32)
+                    sc = scale_buf[slot, :, c].reshape(UNROLL * ps, SL)
+                    sc = sc[:, :Hkv].astype(jnp.float32)
+                    return (t3 * sc[..., None]).reshape(Wp, D).astype(
+                        mat_dtype
+                    )
+
+                k, v = deq(0), deq(1)
+            else:
+                k = kv_buf[slot, :, 0].reshape(Wp, D).astype(mat_dtype)
+                v = kv_buf[slot, :, 1].reshape(Wp, D).astype(mat_dtype)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -231,11 +273,16 @@ def paged_flash_decode(
     ring/context-parallel combine would use). This lets the decode step defer
     all pool writes to one post-scan scatter: the pool stays read-only inside
     the layer scan, so XLA keeps it aliased in place instead of ping-pong
-    copying it every layer (measured 288ms -> ~20ms per 3B decode step)."""
-    assert not kv_pool.quantized, (
-        "int8+scales pools use the XLA reference path (ops.paged_decode_"
-        "attention dispatches); the Pallas kernel serves bf16 and fp8 pools"
-    )
+    copying it every layer (measured 288ms -> ~20ms per 3B decode step).
+
+    INT8 pools (pages int8 + scales [L, 2, T, Hkv]) dequantize INSIDE the
+    kernel: per-page scale slabs are DMA'd alongside the page tiles and
+    applied in the score domain (see _decode_kernel) — the full int8
+    bandwidth saving reaches the MXU path. The per-(token, half, head)
+    granularity matches the layout trap documented by the reference's only
+    quant kernel (/root/reference/lite_llama/kernels/others/
+    context_flashattention_nopad.py:501)."""
+    quantized = kv_pool.quantized
     kv_pages = kv_pool.pages
     B, Nq, D = q.shape
     Hkv = kv_pool.num_kv_heads
@@ -251,15 +298,30 @@ def paged_flash_decode(
     # exactly either way), bf16 q (production) rides the fast path.
     mat_dtype = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
 
+    in_specs = [
+        pl.BlockSpec(
+            (1, Nq, D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((N_BUF, unroll, 2, ps, Hkv * D), kv_pages.dtype),
+    ]
+    extra_inputs = ()
+    if quantized:
+        # Explicit HBM: under pl.ANY the compiler hoists the (seemingly
+        # small) scale planes into VMEM, breaking the per-page DMA slices.
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+        SL = kv_pool.scales.shape[-1]
+        scratch_shapes.append(
+            pltpu.VMEM((N_BUF, unroll, 2, ps, SL), kv_pool.scales.dtype)
+        )
+        extra_inputs = (kv_pool.scales,)  # [L, 2, T, SCALE_LANES]
+    scratch_shapes.append(pltpu.SemaphoreType.DMA((N_BUF,)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, Nq, D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
                 (1, Nq, D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
@@ -271,12 +333,7 @@ def paged_flash_decode(
                 (1, Nq, 128), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
-        scratch_shapes=[
-            pltpu.VMEM(
-                (N_BUF, unroll, 2, ps, Hkv * D), kv_pages.dtype
-            ),
-            pltpu.SemaphoreType.DMA((N_BUF,)),
-        ],
+        scratch_shapes=scratch_shapes,
     )
     kernel = functools.partial(
         _decode_kernel,
@@ -285,6 +342,7 @@ def paged_flash_decode(
         num_kv_heads=Hkv,
         UNROLL=unroll,
         mat_dtype=mat_dtype,
+        quantized=quantized,
     )
     # Clamp at 0: an empty slot (seq_len 0) must stay 0 under the virtual-
     # page protocol, or the kernel's ==0 empty-slot skip misses it and a
@@ -305,7 +363,8 @@ def paged_flash_decode(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(layer_arr, page_table, kv_lens, buf_idx0, init0, q, kv_pages)
+    )(layer_arr, page_table, kv_lens, buf_idx0, init0, q, kv_pages,
+      *extra_inputs)
     if k_new is None:
         return out
     # Exact LSE combine with the virtual newest token (exp2 domain, scales

@@ -164,8 +164,13 @@ def gather_kv_pages(
         (jnp.arange(2)[:, None, None] * T + rows[None])
     ].reshape(2, B, S, Hkv, D)
     if kv_pool.quantized:
-        sc = kv_pool.scales[layer][rows]  # [B, S, 2, Hkv]
-        kv = kv.astype(jnp.float32) * sc.transpose(2, 0, 1, 3)[..., None]
+        # scales [L, 2, T, SCALE_LANES] share the pages' (half, token-row)
+        # indexing; only the first Hkv lanes are valid.
+        SL = kv_pool.scales.shape[-1]
+        sc = kv_pool.scales[layer].reshape(2 * T, SL)[
+            (jnp.arange(2)[:, None, None] * T + rows[None])
+        ][..., :Hkv]  # [2, B, S, Hkv]
+        kv = kv.astype(jnp.float32) * sc.astype(jnp.float32)[..., None]
         kv = kv.astype(out_dtype or jnp.float32)
     kv = kv.transpose(0, 1, 3, 2, 4)  # [2, B, Hkv, S, D]
     return kv[0], kv[1]
@@ -217,6 +222,63 @@ def paged_decode_attention(
         "bhgt,bhtd->bhgd", probs.astype(q.dtype), v, preferred_element_type=jnp.float32
     )
     return out.reshape(B, Hq, D).astype(q.dtype)
+
+
+def chunked_prefill_attention(
+    q: jax.Array,  # [B, S_c, Hq, D] — this chunk's queries
+    k: jax.Array,  # [B, S_c, Hkv, D] — this chunk's keys
+    v: jax.Array,
+    chunk_lens: jax.Array,  # int32 [B] — valid rows in this chunk
+    start_pos: jax.Array,  # int32 [B] — tokens already in the paged pool
+    kv_pool,  # KVPool
+    layer: jax.Array | int,
+    page_table: jax.Array,  # int32 [B, max_pages]
+    sm_scale: float | None = None,
+    max_hist_len: int | None = None,
+) -> jax.Array:
+    """Chunked-prefill attention: every chunk query attends the request's
+    pool history [0, start_pos) plus the causal prefix of the current chunk.
+    XLA contract for ops.attention_prefill.flash_prefill_chunked (which
+    streams the history pages instead of gathering them densely)."""
+    B, S, Hq, D = q.shape
+    Hkv = k.shape[2]
+    groups = Hq // Hkv
+    ps = kv_pool.page_size
+    if max_hist_len is None:
+        max_hist_len = page_table.shape[1] * ps
+    if sm_scale is None:
+        sm_scale = 1.0 / (D**0.5)
+    k_h, v_h = gather_kv_pages(kv_pool, layer, page_table, max_hist_len, q.dtype)
+    # [B, Hkv, T_h, D] -> grouped query attention over [history | chunk].
+    kc = _repeat_kv(k.transpose(0, 2, 1, 3), groups, 1)  # [B, Hq, S, D]
+    vc = _repeat_kv(v.transpose(0, 2, 1, 3), groups, 1)
+    kh = _repeat_kv(k_h, groups, 1)  # [B, Hq, T_h, D]
+    vh = _repeat_kv(v_h, groups, 1)
+    qh = q.transpose(0, 2, 1, 3)  # [B, Hq, S, D]
+    s_hist = jnp.einsum(
+        "bhsd,bhtd->bhst", qh, kh, preferred_element_type=jnp.float32
+    ) * sm_scale
+    s_chunk = jnp.einsum(
+        "bhsd,bhtd->bhst", qh, kc, preferred_element_type=jnp.float32
+    ) * sm_scale
+    t_h = jnp.arange(max_hist_len, dtype=jnp.int32)
+    t_c = jnp.arange(S, dtype=jnp.int32)
+    mask_h = t_h[None, :] < start_pos[:, None]  # [B, T_h]
+    causal = t_c[None, :, None] >= t_c[None, None, :]  # [1, S(q), S(k)]
+    mask_c = causal & (t_c[None, None, :] < chunk_lens[:, None, None])
+    s_hist = jnp.where(mask_h[:, None, None, :], s_hist, -jnp.inf)
+    s_chunk = jnp.where(mask_c[:, None, :, :], s_chunk, -jnp.inf)
+    s_all = jnp.concatenate([s_hist, s_chunk], axis=-1)
+    p = jax.nn.softmax(s_all, axis=-1)
+    p_h, p_c = p[..., :max_hist_len], p[..., max_hist_len:]
+    out = jnp.einsum(
+        "bhst,bhtd->bshd", p_h.astype(q.dtype), vh,
+        preferred_element_type=jnp.float32,
+    ) + jnp.einsum(
+        "bhst,bhtd->bshd", p_c.astype(q.dtype), vc,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
 
 
 # ---------------------------------------------------------------------------

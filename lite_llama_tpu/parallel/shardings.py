@@ -27,6 +27,12 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _is_qtensor(x) -> bool:
+    from ..quant.qtensor import QTensor
+
+    return isinstance(x, QTensor)
+
+
 def make_mesh(tp: int = 1, dp: int = 1, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = dp * tp
@@ -38,9 +44,24 @@ def make_mesh(tp: int = 1, dp: int = 1, devices=None) -> Mesh:
 @dataclass(frozen=True)
 class ShardingPolicy:
     """Computes NamedShardings for the engine's trees; ``mesh=None`` means
-    single-device (every spec degenerates to replicated)."""
+    single-device (every spec degenerates to replicated).
+
+    ``manual_dp=True`` marks a policy used INSIDE the engine's manual-dp
+    shard_map region: activation ``with_sharding_constraint``s become no-ops
+    there (JAX rejects NamedSharding constraints on values varying over a
+    manual axis; tp placement still propagates from the parameter
+    shardings)."""
 
     mesh: Optional[Mesh] = None
+    manual_dp: bool = False
+
+    @property
+    def tp(self) -> int:
+        return 1 if self.mesh is None else self.mesh.shape.get("tp", 1)
+
+    @property
+    def dp(self) -> int:
+        return 1 if self.mesh is None else self.mesh.shape.get("dp", 1)
 
     def _ns(self, *spec):
         if self.mesh is None:
@@ -50,49 +71,107 @@ class ShardingPolicy:
     # -- parameter tree ---------------------------------------------------
     def param_specs(self, cfg, params: dict) -> dict:
         """Spec tree matching the decoder parameter tree
-        (models/decoder.py:init_decoder_params layout)."""
+        (models/decoder.py:init_decoder_params layout, optionally fused by
+        fuse_qkv_params). QTensor leaves map to ``(q_spec, scale_spec)``
+        tuples — the quantized storage keeps contraction dims flattened to C
+        and output dims to O ([*stack, C, O], quant/qtensor.py), so the tp
+        shard rides whichever flat axis carries the heads/ffn dim."""
         if self.mesh is None:
-            return jax.tree_util.tree_map(lambda _: None, params)
+            return jax.tree_util.tree_map(
+                lambda _: None, params,
+                is_leaf=lambda x: not isinstance(x, dict),
+            )
         layer_specs = {
             "attn_norm": self._ns(None, None),
             "wq": self._ns(None, None, "tp", None),  # [L, H, Nq, D]
             "wkv": self._ns(None, None, None, "tp", None),  # [L, H, 2, Nkv, D]
+            # wqkv [L, H, Ntot, D] — shard-periodic head order
+            # (fuse_qkv_params), so a contiguous tp shard = one (q, k, v)
+            # head group.
+            "wqkv": self._ns(None, None, "tp", None),
             "o_proj": self._ns(None, "tp", None, None),  # [L, Nq, D, H]
             "mlp_norm": self._ns(None, None),
-            "gate_up_proj": self._ns(None, None, None, "tp"),  # [L, H, 2, I]
+            "gate_up_proj": self._ns(None, None, None, "tp"),  # [L, 2, H, I]
             "down_proj": self._ns(None, "tp", None),  # [L, I, H]
             "q_bias": self._ns(None, "tp", None),  # [L, Nq, D]
             "kv_bias": self._ns(None, None, "tp", None),  # [L, 2, Nkv, D]
+            "qkv_bias": self._ns(None, "tp", None),  # [L, Ntot, D]
             "q_norm": self._ns(None, None),
             "k_norm": self._ns(None, None),
         }
+        # Quantized ([*stack, C, O]-stored) variants: (q_spec, scale_spec).
+        qtensor_specs = {
+            "wq": (self._ns(None, None, "tp"), self._ns(None, "tp")),
+            "wqkv": (self._ns(None, None, "tp"), self._ns(None, "tp")),
+            "o_proj": (self._ns(None, "tp", None), self._ns(None, None)),
+            # gate_up stored [L, 2, H, I] (stack (L, 2)): shard I.
+            "gate_up_proj": (
+                self._ns(None, None, None, "tp"),
+                self._ns(None, None, "tp"),
+            ),
+            "down_proj": (self._ns(None, "tp", None), self._ns(None, None)),
+        }
+        unfusable_quantized = {"wkv"}  # contiguous O shard crosses K|V
+
+        def pick(name, leaf):
+            if _is_qtensor(leaf):
+                if name in unfusable_quantized:
+                    raise ValueError(
+                        f"quantized '{name}' cannot be tensor-parallel "
+                        "sharded (a contiguous shard of its flat output "
+                        "axis crosses the K|V boundary) — fuse QKV first "
+                        "(models/decoder.py fuse_qkv_params)"
+                    )
+                return qtensor_specs[name]
+            return layer_specs[name]
+
         specs = {
             "embed": self._ns("tp", None),  # [V, H] vocab-sharded
             "layers": {
-                k: layer_specs[k] for k in params["layers"]
+                k: pick(k, v) for k, v in params["layers"].items()
             },
             "final_norm": self._ns(None),
         }
         if "lm_head" in params:
-            specs["lm_head"] = self._ns(None, "tp")  # [H, V]
+            if _is_qtensor(params["lm_head"]):
+                specs["lm_head"] = (self._ns(None, "tp"), self._ns("tp"))
+            else:
+                specs["lm_head"] = self._ns(None, "tp")  # [H, V]
         return specs
 
     # -- KV cache ---------------------------------------------------------
     def _cache_leaf_sharding(self, leaf):
-        """kv pages [L, 2, T, Hkv*D] (head-major channels, so a contiguous
-        last-axis shard is a group of heads) / scales [L, T, 2, Hkv]: KV
-        heads over tp so decode attention is chip-local; all bookkeeping
-        arrays replicated. Dispatch by rank."""
+        """kv pages / scales [L, 2, T, ·]: token rows over dp (each dp group
+        owns its requests' pages by construction — executor/kv_cache.py
+        PagedKVCache docstring), channels (KV heads) over tp so decode
+        attention is chip-local. Bookkeeping arrays (page_table [M, ppr],
+        seq_lens/free_stack/free_top [·]) shard their request/page axis over
+        dp. Dispatch by rank."""
         if leaf.ndim == 4:
-            # pages [L, 2, T, Hkv*D] and scales [L, T, 2, Hkv]: both shard
-            # kv-heads on the LAST axis.
-            return self._ns(None, None, None, "tp")
-        return self._ns(*([None] * leaf.ndim))
+            return self._ns(None, None, "dp", "tp")
+        if leaf.ndim == 2:
+            return self._ns("dp", None)
+        return self._ns("dp")
+
+    def dp_cache_specs(self, cache):
+        """PartitionSpec pytree for the cache mentioning ONLY the dp axis —
+        the in/out specs for the engine's manual-dp shard_map (tp stays
+        auto)."""
+        from jax.sharding import PartitionSpec as PS
+
+        def rule(leaf):
+            if leaf.ndim == 4:
+                return PS(None, None, "dp", None)
+            if leaf.ndim == 2:
+                return PS("dp", None)
+            return PS("dp")
+
+        return jax.tree_util.tree_map(rule, cache)
 
     # -- activation constraints (used inside the forward) -----------------
     def heads(self, x):
         """Constrain a [..., heads, D] activation to head-sharded."""
-        if self.mesh is None:
+        if self.mesh is None or self.manual_dp:
             return x
         spec = [None] * (x.ndim - 2) + ["tp", None]
         return jax.lax.with_sharding_constraint(x, self._ns(*spec))
@@ -100,14 +179,14 @@ class ShardingPolicy:
     def hidden(self, x):
         """Constrain a [..., H] activation to fully replicated (post
         all-reduce of o_proj/down partial sums)."""
-        if self.mesh is None:
+        if self.mesh is None or self.manual_dp:
             return x
         spec = [None] * x.ndim
         return jax.lax.with_sharding_constraint(x, self._ns(*spec))
 
     def ffn(self, x):
         """Constrain a [..., 2, I] gate/up activation to ffn-sharded."""
-        if self.mesh is None:
+        if self.mesh is None or self.manual_dp:
             return x
         spec = [None] * (x.ndim - 1) + ["tp"]
         return jax.lax.with_sharding_constraint(x, self._ns(*spec))
@@ -116,11 +195,22 @@ class ShardingPolicy:
         if self.mesh is None:
             return params
         specs = self.param_specs(cfg, params)
-        return jax.tree_util.tree_map(
-            lambda x, s: jax.device_put(x, s) if s is not None else x,
-            params,
-            specs,
-        )
+
+        def apply(node, spec):
+            if isinstance(node, dict):
+                return {k: apply(v, spec[k]) for k, v in node.items()}
+            if _is_qtensor(node):
+                import dataclasses as _dc
+
+                q_spec, s_spec = spec
+                return _dc.replace(
+                    node,
+                    q=jax.device_put(node.q, q_spec),
+                    scale=jax.device_put(node.scale, s_spec),
+                )
+            return jax.device_put(node, spec) if spec is not None else node
+
+        return apply(params, specs)
 
     def shard_cache(self, cache):
         if self.mesh is None:

@@ -149,21 +149,22 @@ def qeinsum(pattern: str, x: jax.Array, w: Any, out_dtype=None) -> jax.Array:
     """
     if isinstance(w, QTensor):
         dt = out_dtype or x.dtype
-        C = w.q.shape[-1 - 1]
+        C = w.q.shape[-2]
         k, prod = 0, 1
         while prod != C:
             k += 1
             assert k <= x.ndim, (x.shape, C)
             prod *= x.shape[-k]
         batch = x.shape[: x.ndim - k]
+        n_stack = w.q.ndim - 2  # e.g. gate_up sliced under scan: [2, H, I]
         y = jax.lax.dot_general(
             x.reshape(*batch, C),
             w.q.astype(dt),
-            (((len(batch),), (0,)), ((), ())),
+            (((len(batch),), (n_stack,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        y = y * w.scale
-        return y.reshape(*batch, *w.out_shape).astype(dt)
+        )  # [*batch, *stack, O]
+        y = y * w.scale  # scale [*stack, O] broadcasts over batch
+        return y.reshape(*batch, *w.q.shape[:-2], *w.out_shape).astype(dt)
     return jnp.einsum(pattern, x, w)
 
 
@@ -172,8 +173,9 @@ def qeinsum(pattern: str, x: jax.Array, w: Any, out_dtype=None) -> jax.Array:
 _LAYER_QUANT_AXES = {
     "wq": (1,),  # [L, H, Nq, D]
     "wkv": (1,),  # [L, H, 2, Nkv, D]
+    "wqkv": (1,),  # [L, H, Ntot, D] (engine-fused)
     "o_proj": (1, 2),  # [L, Nq, D, H]
-    "gate_up_proj": (1,),  # [L, H, 2, I]
+    "gate_up_proj": (2,),  # [L, 2, H, I] (stack (L, 2), contract H)
     "down_proj": (1,),  # [L, I, H]
 }
 

@@ -38,7 +38,7 @@ import numpy as np
 #   layers/q_norm, layers/k_norm  [L, D]                   (qwen3)
 #   layers/o_proj                 [L, Nq, D, H]
 #   layers/mlp_norm               [L, H]
-#   layers/gate_up_proj           [L, H, 2, I]             (axis2: 0=gate, 1=up)
+#   layers/gate_up_proj           [L, 2, H, I]             (axis1: 0=gate, 1=up)
 #   layers/down_proj              [L, I, H]
 #   final_norm                    [H]
 #   lm_head                       [H, V]                   (untied only)
@@ -94,8 +94,8 @@ def convert_hf_state_dict(
                     lw(i, "mlp.gate_proj.weight").T,
                     lw(i, "mlp.up_proj.weight").T,
                 ],
-                axis=1,
-            )  # [H, 2, I]
+                axis=0,
+            )  # [2, H, I] (axis0: 0=gate, 1=up)
         ),
         "down_proj": stack(lambda i: lw(i, "mlp.down_proj.weight").T),
     }

@@ -1,0 +1,174 @@
+"""Chunked / long-context prefill (VERDICT r1 missing #4).
+
+Three layers of checking:
+1. ref.chunked_prefill_attention == full-sequence attention restricted to the
+   chunk rows (the XLA contract is itself validated against first principles).
+2. The Pallas streamed kernel (interpret) == the XLA contract, for both the
+   fresh path and the paged-history path.
+3. Engine end-to-end: a prompt longer than ``prefill_chunk`` produces the
+   same greedy generation as the single-shot path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lite_llama_tpu.ops import ref
+from lite_llama_tpu.ops.attention_prefill import (
+    flash_prefill,
+    flash_prefill_chunked,
+)
+from lite_llama_tpu.executor.kv_cache import (
+    KVPool,
+    alloc_prefill,
+    create_kv_cache,
+    kv_write_prefill,
+)
+
+
+def _setup_history(key, B, S_hist, S_c, Hkv, D, ps, lens_total):
+    """Build a pool containing each request's first (lens-S_c) tokens and
+    return (cache, k_full, v_full) where k_full covers the whole sequence."""
+    num_pages = 64
+    L = 1
+    cache = create_kv_cache(
+        L, Hkv, D, num_pages=num_pages, page_size=ps, max_reqs=B,
+        max_seq_len=S_hist + S_c, dtype=jnp.float32,
+    )
+    req = jnp.arange(B, dtype=jnp.int32)
+    lens_arr = jnp.asarray(lens_total, jnp.int32)
+    cache = alloc_prefill(cache, req, lens_arr)
+    k_full = jax.random.normal(
+        key, (B, S_hist + S_c, Hkv, D), jnp.float32
+    )
+    v_full = jax.random.normal(
+        jax.random.fold_in(key, 1), (B, S_hist + S_c, Hkv, D), jnp.float32
+    )
+    # Engine semantics: the chunk boundary is GLOBAL (position S_hist); a
+    # request's history is its first min(len, S_hist) tokens.
+    hist_lens = jnp.minimum(lens_arr, S_hist)
+    kv = kv_write_prefill(
+        cache.kv_pages, 0, k_full[:, :S_hist], v_full[:, :S_hist],
+        cache.page_table[req], jnp.zeros((B,), jnp.int32), hist_lens,
+    )
+    cache.kv_pages = kv
+    return cache, req, k_full, v_full, hist_lens
+
+
+@pytest.mark.parametrize("lens_total,S_hist,S_c", [
+    ([40, 25], 32, 16),   # both have history
+    ([40, 10], 32, 16),   # second request fully inside history (no chunk rows)
+    ([33, 48], 32, 16),
+])
+def test_ref_chunked_equals_full_attention(lens_total, S_hist, S_c):
+    B, Hkv, Nq, D, ps = 2, 2, 4, 64, 16
+    key = jax.random.PRNGKey(0)
+    cache, req, k_full, v_full, hist_lens = _setup_history(
+        key, B, S_hist, S_c, Hkv, D, ps, lens_total
+    )
+    S = S_hist + S_c
+    q_full = jax.random.normal(jax.random.PRNGKey(2), (B, S, Nq, D), jnp.float32)
+    lens_arr = jnp.asarray(lens_total, jnp.int32)
+    # ground truth: full-sequence ragged causal attention
+    want_full = ref.prefill_attention(q_full, k_full, v_full, lens_arr)
+    # chunked: history = first min(len, S_hist) tokens (in pool)
+    chunk_lens = jnp.clip(lens_arr - S_hist, 0, S_c)
+    got = ref.chunked_prefill_attention(
+        q_full[:, S_hist:], k_full[:, S_hist:], v_full[:, S_hist:],
+        chunk_lens, hist_lens, cache.kv_pages, 0, cache.page_table[req],
+    )
+    for b in range(B):
+        n = int(chunk_lens[b])
+        if n == 0:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(got[b, :n]),
+            np.asarray(want_full[b, int(hist_lens[b]): int(hist_lens[b]) + n]),
+            rtol=2e-5, atol=2e-5, err_msg=f"b={b}",
+        )
+
+
+@pytest.mark.parametrize("lens_total,S_hist,S_c,bq,bk", [
+    ([40, 25], 32, 16, 16, 16),
+    ([40, 10], 32, 16, 8, 16),
+    ([48, 33], 32, 16, 16, 16),
+])
+def test_pallas_chunked_matches_ref(lens_total, S_hist, S_c, bq, bk):
+    B, Hkv, Nq, D, ps = 2, 2, 4, 64, 16
+    key = jax.random.PRNGKey(3)
+    cache, req, k_full, v_full, hist_lens = _setup_history(
+        key, B, S_hist, S_c, Hkv, D, ps, lens_total
+    )
+    q_c = jax.random.normal(jax.random.PRNGKey(4), (B, S_c, Nq, D), jnp.float32)
+    lens_arr = jnp.asarray(lens_total, jnp.int32)
+    chunk_lens = jnp.clip(lens_arr - S_hist, 0, S_c)
+    want = ref.chunked_prefill_attention(
+        q_c, k_full[:, S_hist:], v_full[:, S_hist:],
+        chunk_lens, hist_lens, cache.kv_pages, 0, cache.page_table[req],
+    )
+    got = flash_prefill_chunked(
+        q_c, k_full[:, S_hist:], v_full[:, S_hist:],
+        chunk_lens, hist_lens, cache.kv_pages, 0, cache.page_table[req],
+        interpret=True, block_q=bq, block_k=bk,
+    )
+    for b in range(B):
+        n = int(chunk_lens[b])
+        np.testing.assert_allclose(
+            np.asarray(got[b, :n]), np.asarray(want[b, :n]),
+            rtol=2e-5, atol=2e-5, err_msg=f"b={b}",
+        )
+
+
+@pytest.mark.slow
+def test_streamed_prefill_long_sequence():
+    """The streamed kernel's VMEM footprint is independent of S: run S=8192
+    (the round-1 kernel's BlockSpec held the full [S, D] stream in VMEM and
+    could not reach this length on-chip). Interpret mode, minimal heads."""
+    B, S, Nq, Hkv, D = 1, 8192, 2, 1, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, S, Nq, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, Hkv, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, Hkv, D), jnp.float32)
+    lens = jnp.asarray([7000], jnp.int32)
+    got = flash_prefill(q, k, v, lens, interpret=True,
+                        block_q=2048, block_k=2048)
+    want = ref.prefill_attention(q, k, v, lens)
+    np.testing.assert_allclose(
+        np.asarray(got[0, :7000]), np.asarray(want[0, :7000]),
+        rtol=3e-5, atol=3e-5,
+    )
+
+
+@pytest.mark.quick
+def test_engine_long_prompt_matches_single_shot():
+    """Greedy generation with prefill_chunk smaller than the prompt must
+    match the single-shot prefill path token for token."""
+    from lite_llama_tpu.config import LlamaConfig
+    from lite_llama_tpu.executor.engine import InferenceEngine
+    from lite_llama_tpu.generation.generate import TextGenerator
+    from lite_llama_tpu.models.decoder import init_decoder_params
+
+    cfg = LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=151,
+        max_seq_len=128, dtype=jnp.float32,
+    )
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    prompts = [
+        rng.integers(0, 151, size=45).tolist(),
+        rng.integers(0, 151, size=23).tolist(),
+    ]
+    outs = {}
+    for chunk in (2048, 16):  # single-shot vs 3-chunk path
+        eng = InferenceEngine(
+            cfg, params, page_size=8, max_reqs=2, num_pages=64,
+            prefill_chunk=chunk, decode_chunk=4,
+        )
+        gen = TextGenerator(eng)
+        outs[chunk] = [
+            o.token_ids
+            for o in gen.generate_tokens(prompts, max_gen_len=8,
+                                         temperature=0.0)
+        ]
+    assert outs[2048] == outs[16], outs

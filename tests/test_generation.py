@@ -63,7 +63,7 @@ def test_max_gen_len_respected_and_slots_recycled(engine):
     assert len(out[0].token_ids) <= 5
     assert len(engine._free_slots) == free_before
     assert engine._host_free_pages == pages_before
-    assert int(engine.cache.free_top) == engine.num_pages
+    assert int(engine.cache.free_top.sum()) == engine.num_pages
 
 
 def test_echo_includes_prompt(engine):

@@ -46,7 +46,7 @@ def test_prefill_alloc_unique_pages_and_lengths():
     req_ids = jnp.array([0, 1, 2], jnp.int32)
     lens = jnp.array([5, 4, 9], jnp.int32)  # 2 + 1 + 3 pages
     cache = alloc_prefill(cache, req_ids, lens)
-    assert int(cache.free_top) == 32 - 6
+    assert int(cache.free_top.sum()) == 32 - 6
     np.testing.assert_array_equal(np.asarray(cache.seq_lens[:3]), [5, 4, 9])
     all_pages = owned_pages(cache, 0) | owned_pages(cache, 1) | owned_pages(cache, 2)
     assert len(all_pages) == 6  # no page handed out twice
@@ -56,11 +56,11 @@ def test_decode_alloc_pops_only_on_page_boundary():
     cache = make_cache(page_size=4)
     req_ids = jnp.array([0, 1], jnp.int32)
     cache = alloc_prefill(cache, req_ids, jnp.array([4, 3], jnp.int32))
-    top0 = int(cache.free_top)
+    top0 = int(cache.free_top.sum())
     # req0 at len 4 (full page) -> next token needs a new page;
     # req1 at len 3 -> fits in the current page.
     cache = alloc_decode(cache, req_ids)
-    assert int(cache.free_top) == top0 - 1
+    assert int(cache.free_top.sum()) == top0 - 1
     np.testing.assert_array_equal(np.asarray(cache.seq_lens[:2]), [5, 4])
     assert len(owned_pages(cache, 0)) == 2
     assert len(owned_pages(cache, 1)) == 1
@@ -70,12 +70,12 @@ def test_free_returns_pages_to_stack():
     cache = make_cache()
     req_ids = jnp.array([0, 1], jnp.int32)
     cache = alloc_prefill(cache, req_ids, jnp.array([8, 8], jnp.int32))
-    assert int(cache.free_top) == 32 - 4
+    assert int(cache.free_top.sum()) == 32 - 4
     cache = free_requests(cache, jnp.array([0], jnp.int32))
-    assert int(cache.free_top) == 32 - 2
+    assert int(cache.free_top.sum()) == 32 - 2
     assert int(cache.seq_lens[0]) == 0
     # Freed pages are reusable and the stack holds no duplicates among free.
-    free = np.asarray(cache.free_stack[: int(cache.free_top)])
+    free = np.asarray(cache.free_stack[: int(cache.free_top.sum())])
     assert len(set(free.tolist())) == len(free)
     # Still-live pages of req1 must not be in the free region.
     assert not (owned_pages(cache, 1) & set(free.tolist()))
@@ -87,9 +87,9 @@ def test_alloc_free_roundtrip_many():
         req_ids = jnp.array([0, 1, 2, 3], jnp.int32)
         lens = jnp.array([4, 8, 12, 16], jnp.int32)
         cache = alloc_prefill(cache, req_ids, lens)
-        assert int(cache.free_top) == 16 - 10
+        assert int(cache.free_top.sum()) == 16 - 10
         cache = free_requests(cache, req_ids)
-        assert int(cache.free_top) == 16
+        assert int(cache.free_top.sum()) == 16
         free = np.asarray(cache.free_stack)
         assert sorted(free.tolist()) == list(range(16))
 

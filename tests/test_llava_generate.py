@@ -48,7 +48,7 @@ def test_multimodal_stream_generates(engine):
     assert all(0 <= t < 128 for c in collected for t in c)
     # slots/pages recycled
     assert len(engine._free_slots) == 4
-    assert int(engine.cache.free_top) == engine.num_pages
+    assert int(engine.cache.free_top.sum()) == engine.num_pages
 
 
 def test_text_only_through_llava_engine(engine):

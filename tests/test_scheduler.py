@@ -48,7 +48,7 @@ def test_more_requests_than_slots_all_complete():
     # engine fully drained
     assert len(engine._free_slots) == 4
     assert engine._host_free_pages == engine.num_pages
-    assert int(engine.cache.free_top) == engine.num_pages
+    assert int(engine.cache.free_top.sum()) == engine.num_pages
 
 
 def test_scheduler_greedy_matches_isolated():
