@@ -27,6 +27,7 @@ from __future__ import annotations
 import gc
 import json
 import os
+import sys
 import time
 
 import jax
@@ -113,7 +114,6 @@ def main():
         rng.integers(0, cfg.vocab_size, size=prompt_len).tolist()
         for _ in range(bs)
     ]
-    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
     quant = os.environ.get("BENCH_QUANT", "")
     kv_env = os.environ.get("BENCH_KV_QUANT", "")
     kv_quant = {"1": True, "int8": True, "fp8": "fp8"}.get(kv_env, False)
@@ -124,19 +124,48 @@ def main():
         "decode_chunk": chunk,
     }
 
-    main_params = params
+    def progress(tag, row):
+        # Partial results survive a crash in a later stage.
+        print(f"[bench] {tag}: {row}", file=sys.stderr, flush=True)
+
+    def fresh():
+        gc.collect()
+        jax.clear_caches()
+        return init_decoder_params(cfg, jax.random.PRNGKey(0))
+
+    vs_naive = None
+    naive = None
+    if extras and not quant:
+        # Naive XLA baseline FIRST, on a clean chip: its dense no-donation
+        # KV double-buffers ~5.6 GB on top of the bf16 weights, which does
+        # not fit next to a resident engine.
+        from benchmarks.naive_baseline import naive_decode_tps
+
+        params = fresh()
+        naive = naive_decode_tps(
+            cfg, params, bs, prompt_len, max_seq=min(max_seq, 2048),
+        )
+        detail["naive"] = {k: (round(v, 3) if isinstance(v, float) else v)
+                           for k, v in naive.items()}
+        progress("naive", detail["naive"])
+        del params
+        gc.collect()
+
+    params = fresh()
     if quant:
         qdtype = jnp.int8 if quant == "int8" else jnp.float8_e4m3fn
-        main_params = quantize_decoder_params(
-            params, qdtype, drop_originals=True
-        )
-    engine = build_engine(cfg, main_params, bs, prompt_len, gen_len,
+        params = quantize_decoder_params(params, qdtype, drop_originals=True)
+    engine = build_engine(cfg, params, bs, prompt_len, gen_len,
                           page_size, chunk, kv_quant)
+    del params  # the engine holds the (fused) tree; drop the extra refs
+    gc.collect()
     main_row = run_engine(engine, prompts, gen_len, chunk)
     detail.update(main_row)
     tps = main_row["tokens_per_s"]
+    progress("main", main_row)
+    if naive is not None:
+        vs_naive = round(tps / naive["tokens_per_s"], 3)
 
-    vs_naive = None
     if extras and not quant:
         # INT8 weight-only row (quantizes IN PLACE from the engine's live
         # params to stay under the HBM budget, then rebuilds the engine).
@@ -147,31 +176,24 @@ def main():
                                      drop_originals=True)
         del live_params
         gc.collect()
+        jax.clear_caches()
         engine8 = build_engine(cfg, q8, bs, prompt_len, gen_len, page_size,
                                chunk, kv_quant=False)
+        del q8
         detail["int8_weights"] = run_engine(engine8, prompts, gen_len, chunk)
-        del engine8, q8
+        progress("int8_weights", detail["int8_weights"])
+        del engine8
         gc.collect()
 
         # INT8-KV row (bf16 weights, quantized cache — Pallas kernel path).
-        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        params = fresh()
         engine_kv = build_engine(cfg, params, bs, prompt_len, gen_len,
                                  page_size, chunk, kv_quant=True)
-        detail["int8_kv"] = run_engine(engine_kv, prompts, gen_len, chunk)
-        del engine_kv
-        gc.collect()
-
-        # Naive XLA baseline on the same chip (steady-state decode rate).
-        from benchmarks.naive_baseline import naive_decode_tps
-
-        naive = naive_decode_tps(
-            cfg, params, bs, prompt_len,
-            max_seq=min(max_seq, 2048),
-        )
-        detail["naive"] = {k: (round(v, 3) if isinstance(v, float) else v)
-                           for k, v in naive.items()}
-        vs_naive = round(tps / naive["tokens_per_s"], 3)
         del params
+        gc.collect()
+        detail["int8_kv"] = run_engine(engine_kv, prompts, gen_len, chunk)
+        progress("int8_kv", detail["int8_kv"])
+        del engine_kv
         gc.collect()
 
     tag = f" w{quant}" if quant else ""

@@ -5,13 +5,16 @@ Capability parity with /root/reference/examples/benchmark.py:152
 engine and through ``transformers`` generate(), report wall-clock, output
 tokens, tokens/s, and ms/token for both, plus a sample output comparison.
 
-TPU delta: transformers has no TPU backend here, so the HF side runs torch on
-CPU by default — that mirrors what a reference user switching to TPU would
-actually compare against. Pass ``--skip-hf`` to benchmark the engine alone.
+TPU delta: the honest same-hardware baseline is the XLA-naive JAX decoder
+(benchmarks/naive_baseline.py — dense no-donation KV, per-token jit, host
+sampling: the moral equivalent of transformers.generate() on this chip),
+enabled with ``--naive``. The torch-CPU transformers path (``--hf-model``)
+remains available for output-quality comparison but is labeled as a
+CROSS-HARDWARE number — it says nothing about engine efficiency.
 
 Usage:
     python examples/benchmark.py <converted_or_hf_ckpt_dir> \
-        [--hf-model <hf_dir>] [--batch 12] [--max-gen-len 1900] [--skip-hf]
+        [--naive] [--hf-model <hf_dir>] [--batch 12] [--max-gen-len 1900]
 """
 
 from __future__ import annotations
@@ -134,6 +137,7 @@ def compare_inference_speed(
     max_seq_len: int = 2048,
     print_result: bool = True,
     skip_hf: bool = False,
+    naive: bool = False,
 ):
     from lite_llama_tpu.utils.common import get_model_type
     from lite_llama_tpu.utils.prompts import get_prompter
@@ -156,7 +160,28 @@ def compare_inference_speed(
         f"{1000 * eng_time / max(eng_tokens, 1):.4f} ms/token"
     )
 
+    if naive:
+        # Same-chip XLA-naive baseline (the honest comparison).
+        import jax.numpy as jnp
+        from benchmarks.naive_baseline import naive_decode_tps
+        from lite_llama_tpu.config import load_config
+        from lite_llama_tpu.models.decoder import init_decoder_params
+        import jax as _jax
+
+        cfg = load_config(ckpt_dir, dtype=jnp.bfloat16, max_seq_len=max_seq_len)
+        nparams = init_decoder_params(cfg, _jax.random.PRNGKey(0))
+        res = naive_decode_tps(cfg, nparams, bs=len(prompts), prompt_len=32,
+                               max_seq=max_seq_len)
+        print(f"naive-XLA (same chip) throughput: "
+              f"{res['tokens_per_s']:.2f} tokens/s "
+              f"({res['ms_per_step']:.2f} ms/step; {res['note']})")
+        print(f"engine vs naive-XLA speedup:      "
+              f"{eng_tokens / eng_time / res['tokens_per_s']:.2f}x")
+
     if not skip_hf and hf_model_name:
+        print("NOTE: the transformers row below runs torch on CPU — a "
+              "cross-hardware sanity/quality check, NOT an efficiency "
+              "comparison (use --naive for the same-chip baseline).")
         hf_texts, hf_time, hf_tokens = transformers_inference(
             hf_model_name, templated, temperature, top_p, max_gen_len
         )
@@ -184,6 +209,8 @@ def main():
     ap.add_argument("--temperature", type=float, default=0.6)
     ap.add_argument("--top-p", type=float, default=0.9)
     ap.add_argument("--skip-hf", action="store_true")
+    ap.add_argument("--naive", action="store_true",
+                    help="also run the same-chip XLA-naive baseline")
     args = ap.parse_args()
 
     prompts = (DEFAULT_PROMPTS * ((args.batch // len(DEFAULT_PROMPTS)) + 1))[
@@ -198,6 +225,7 @@ def main():
         max_gen_len=args.max_gen_len,
         max_seq_len=args.max_seq_len,
         skip_hf=args.skip_hf,
+        naive=args.naive,
     )
 
 

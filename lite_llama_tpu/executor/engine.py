@@ -53,6 +53,77 @@ class EngineStats:
     prefill_tokens: int = 0
     decode_tokens: int = 0
     chunks: int = 0
+    prefix_hits: int = 0
+    prefix_tokens_reused: int = 0
+
+
+class PrefixCache:
+    """Host-side shared-prompt-prefix registry for ONE dp group.
+
+    Beyond-reference serving capability (the reference's prompt-cache kernel
+    is dead code, context_flashattention_nopad.py:140). Entries are whole
+    page-aligned prompt prefixes: key = chained sha256 over page-sized token
+    blocks, value = the group-LOCAL page ids holding that prefix's KV plus a
+    refcount. The device side stays simple — alloc_prefill splices shared
+    pages into the table, free_requests keeps them, push_pages evicts — all
+    sharing policy lives here on the host.
+    """
+
+    def __init__(self):
+        self.entries = {}  # key -> [n_pages, list(local_page_ids), refs, lru]
+        self._tick = 0
+
+    @staticmethod
+    def chain_keys(tokens, page_size):
+        """Chained per-page digests: h_k covers the first k*page_size
+        tokens. O(len) total; a stored key equals h_k iff the stored entry's
+        k pages hold exactly those tokens."""
+        import hashlib
+
+        keys = []
+        h = hashlib.sha256()
+        full = len(tokens) // page_size
+        for k in range(full):
+            blk = tokens[k * page_size : (k + 1) * page_size]
+            h.update(np.asarray(blk, np.int32).tobytes())
+            keys.append(h.digest())
+        return keys  # keys[k-1] covers k pages
+
+    def lookup(self, keys):
+        """Longest stored prefix among the chain keys; returns
+        (key, n_pages, page_ids) or None. Does NOT take a reference."""
+        for k in range(len(keys), 0, -1):
+            e = self.entries.get(keys[k - 1])
+            if e is not None:
+                return keys[k - 1], e[0], e[1]
+        return None
+
+    def acquire(self, key):
+        self._tick += 1
+        e = self.entries[key]
+        e[2] += 1
+        e[3] = self._tick
+
+    def release(self, key):
+        self.entries[key][2] -= 1
+
+    def register(self, key, page_ids):
+        if key in self.entries:
+            return False
+        self._tick += 1
+        self.entries[key] = [len(page_ids), list(page_ids), 0, self._tick]
+        return True
+
+    def evictable(self):
+        """(key, n_pages) pairs with refcount 0, LRU first."""
+        return sorted(
+            ((k, e[0]) for k, e in self.entries.items() if e[2] == 0),
+            key=lambda it: self.entries[it[0]][3],
+        )
+
+    def pop(self, key):
+        e = self.entries.pop(key)
+        return e[1]
 
 
 class InferenceEngine:
@@ -71,6 +142,7 @@ class InferenceEngine:
         prefill_chunk: int = 2048,
         kv_quant=False,  # False | True/'int8' | 'fp8' (scale-free e4m3)
         fuse_qkv: bool = True,
+        prefix_cache: bool = False,
         forward_prefill=None,
         forward_decode=None,
         mesh=None,
@@ -147,11 +219,12 @@ class InferenceEngine:
             donate_argnums=(1,),
         )
         self._chunk_jits = {}
-        # Long-prompt (chunked) prefill path.
+        # Long-prompt (chunked) prefill path; also serves prefix-cache hits
+        # (per-request start offsets).
         self._alloc_jit = jax.jit(
             self._dp_wrap(
                 alloc_prefill,
-                in_specs=(cs, PS("dp"), PS("dp")),
+                in_specs=(cs, PS("dp"), PS("dp"), PS("dp", None), PS("dp")),
                 out_specs=cs,
             ),
             donate_argnums=(0,),
@@ -160,7 +233,7 @@ class InferenceEngine:
             self._dp_wrap(
                 self._prefill_chunk_step,
                 in_specs=(PS(), cs, PS("dp", None), PS("dp"), PS("dp"),
-                          PS(), PS("dp", None)),
+                          PS("dp"), PS("dp", None)),
                 out_specs=(cs, PS("dp", None)),
             ),
             donate_argnums=(1, 6),
@@ -176,11 +249,26 @@ class InferenceEngine:
         self._free_jit = jax.jit(
             self._dp_wrap(
                 free_requests,
-                in_specs=(cs, PS("dp")),
+                in_specs=(cs, PS("dp"), PS("dp")),
                 out_specs=cs,
             ),
             donate_argnums=(0,),
         )
+        from .kv_cache import push_pages
+
+        self._evict_jit = jax.jit(
+            self._dp_wrap(
+                push_pages,
+                in_specs=(cs, PS("dp"), PS("dp")),
+                out_specs=cs,
+            ),
+            donate_argnums=(0,),
+        )
+        self.prefix = (
+            [PrefixCache() for _ in range(self.dp)] if prefix_cache else None
+        )
+        self._slot_prefix = {}  # slot -> (group, key, n_pages, local_rows)
+        self._slot_prompt = {}  # slot -> prompt token list (for registration)
         self.pad_id = config.pad_token_id if config.pad_token_id is not None else 0
         eos = config.eos_token_ids
         self._eos_array = jnp.asarray(eos if eos else [-1], jnp.int32)
@@ -235,30 +323,86 @@ class InferenceEngine:
     def _host_free_pages(self):
         return sum(self._pages_by_group)
 
-    def try_admit(self, total_len: int):
-        """Atomically place one request: pick the dp group with the most
-        free pages that has a free slot and room for ``total_len`` tokens;
-        reserve and return the slot, or None."""
-        need = cdiv(total_len, self.page_size)
-        best = None
+    def _evict_for(self, g: int, need: int) -> None:
+        """Evict LRU zero-ref prefix entries from group g until ``need``
+        pages are free (or nothing evictable remains)."""
+        if self.prefix is None:
+            return
+        for key, n_pages in self.prefix[g].evictable():
+            if self._pages_by_group[g] >= need:
+                return
+            pages = self.prefix[g].pop(key)
+            arr = np.asarray(pages, np.int32)
+            self.cache = self._evict_for_group_jit(g, arr)
+            self._pages_by_group[g] += len(pages)
+
+    def _evict_for_group_jit(self, g: int, pages: np.ndarray):
+        """Push pages (group-local ids) of group g back on the device-side
+        stack. Builds the [dp*W] layout: only group g's rows are valid."""
+        W = int(pages.shape[0])
+        full = np.zeros((self.dp * W,), np.int32)
+        valid = np.zeros((self.dp * W,), bool)
+        full[g * W : (g + 1) * W] = pages
+        valid[g * W : (g + 1) * W] = True
+        return self._evict_jit(self.cache, jnp.asarray(full), jnp.asarray(valid))
+
+    def try_admit(self, total_len: int, prompt_tokens=None):
+        """Atomically place one request: pick the dp group with the longest
+        cached-prefix hit (when prefix caching is on and the prompt is
+        given), breaking ties by most free pages; reserve pages beyond the
+        shared prefix and return the slot, or None. A hit takes a reference
+        on the prefix entry and records the splice info for prefill."""
+        total_pages = cdiv(total_len, self.page_size)
+        hits = [None] * self.dp
+        if self.prefix is not None and prompt_tokens is not None:
+            keys = PrefixCache.chain_keys(prompt_tokens, self.page_size)
+            # Never reuse the whole prompt: the last prompt token must be
+            # recomputed so its logits exist for sampling the first output.
+            max_use = (len(prompt_tokens) - 1) // self.page_size
+            for g in range(self.dp):
+                h = self.prefix[g].lookup(keys)
+                if h is not None:
+                    k_use = min(h[1], max_use)
+                    if k_use > 0:
+                        hits[g] = (h[0], k_use, h[2][:k_use])
+        best, best_rank = None, None
         for g in range(self.dp):
-            if self._slots_by_group[g] and self._pages_by_group[g] >= need:
-                if best is None or (
-                    self._pages_by_group[g] > self._pages_by_group[best]
-                ):
-                    best = g
+            if not self._slots_by_group[g]:
+                continue
+            k = hits[g][1] if hits[g] else 0
+            need = total_pages - k
+            if self._pages_by_group[g] < need:
+                self._evict_for(g, need)
+            if self._pages_by_group[g] < need:
+                continue
+            rank = (k, self._pages_by_group[g])
+            if best is None or rank > best_rank:
+                best, best_rank = g, rank
         if best is None:
             return None
-        self._pages_by_group[best] -= need
-        return self._slots_by_group[best].pop(0)
+        hit = hits[best]
+        k = hit[1] if hit else 0
+        self._pages_by_group[best] -= total_pages - k
+        slot = self._slots_by_group[best].pop(0)
+        if hit:
+            key, k_use, pages = hit
+            self.prefix[best].acquire(key)
+            self._slot_prefix[slot] = (best, key, k_use, pages)
+            self.stats.prefix_hits += 1
+            self.stats.prefix_tokens_reused += k_use * self.page_size
+        if self.prefix is not None and prompt_tokens is not None:
+            self._slot_prompt[slot] = list(prompt_tokens)
+        return slot
 
-    def admit_requests(self, total_lens: Sequence[int]) -> List[int]:
+    def admit_requests(
+        self, total_lens: Sequence[int], prompts=None
+    ) -> List[int]:
         """try_admit for a whole batch; raises (and rolls back) if any
         request cannot be placed (the host-side guard — the in-jit allocator
         is masked arithmetic and cannot raise)."""
         slots: List[int] = []
-        for n in total_lens:
-            s = self.try_admit(n)
+        for i, n in enumerate(total_lens):
+            s = self.try_admit(n, prompts[i] if prompts is not None else None)
             if s is None:
                 self.release_slots(slots, total_lens[: len(slots)])
                 raise RuntimeError(
@@ -340,8 +484,11 @@ class InferenceEngine:
     def _prefill_chunk_step(
         self, params, cache, ids_chunk, lens, req_ids, start, last_logits
     ):
-        """One bucketed chunk of a long prompt: positions [start, start+W)
-        of every request (requests already fully consumed run fully masked).
+        """One bucketed chunk of a long (or prefix-cached) prompt: positions
+        [start[b], start[b]+W) of every request (requests already fully
+        consumed run fully masked). ``start`` is a per-request [B] vector:
+        plain chunking passes a uniform ci*W; prefix-cache hits add each
+        request's cached length so compute starts after the shared pages.
         Carries the running last-position logits so sampling happens once
         after the final chunk."""
         cfg = self.config
@@ -441,11 +588,40 @@ class InferenceEngine:
     def release_slots(self, slots: Sequence[int], lens: Sequence[int]):
         if not slots:
             return
+        keep = [0] * len(slots)
+        returned = [cdiv(n, self.page_size) for n in lens]
+        if self.prefix is not None:
+            table_host = None
+            for i, s in enumerate(slots):
+                g = s // self.M_local
+                used = self._slot_prefix.pop(s, None)
+                prompt = self._slot_prompt.pop(s, None)
+                if used is not None:
+                    # Shared pages belong to the cache entry; drop our ref.
+                    _, key, n_pages, _ = used
+                    self.prefix[g].release(key)
+                    keep[i] = n_pages
+                    returned[i] = cdiv(lens[i], self.page_size) - n_pages
+                elif prompt is not None and len(prompt) >= self.page_size:
+                    # Donate this prompt's full pages as a new prefix entry.
+                    keys = PrefixCache.chain_keys(prompt, self.page_size)
+                    if keys and keys[-1] not in self.prefix[g].entries:
+                        if table_host is None:
+                            table_host = np.asarray(self.cache.page_table)
+                        k_new = len(keys)
+                        pages = table_host[s, :k_new].tolist()
+                        self.prefix[g].register(keys[-1], pages)
+                        keep[i] = k_new
+                        returned[i] = cdiv(lens[i], self.page_size) - k_new
         pos, req_local, W = self._group_layout(slots)
-        self.cache = self._free_jit(self.cache, jnp.asarray(req_local))
-        for s, n in zip(slots, lens):
+        keep_l = np.zeros((self.dp * W,), np.int32)
+        keep_l[pos] = keep
+        self.cache = self._free_jit(
+            self.cache, jnp.asarray(req_local), jnp.asarray(keep_l)
+        )
+        for s, n in zip(slots, returned):
             g = s // self.M_local
-            self._pages_by_group[g] += cdiv(n, self.page_size)
+            self._pages_by_group[g] += n
             self._slots_by_group[g].append(s)
 
     def reserve_pages(self, total_lens: Sequence[int]):
@@ -489,20 +665,39 @@ class InferenceEngine:
         lens_arr = jnp.asarray(lens)
         ids_rows = np.asarray(pos)
 
-        if S_max > self.prefill_chunk:
-            # Long prompts: bucketed chunks through the paged-history
-            # attention path — activation/VMEM footprint independent of
-            # prompt length, and a 33k prompt pads to the next 2k chunk
-            # instead of the next power of two.
-            Wc = self.prefill_chunk
-            n_chunks = cdiv(S_max, Wc)
+        # Prefix-cache splice info (engine-local slot state set by try_admit).
+        cached = np.zeros((Bl,), np.int32)  # cached TOKENS per layout row
+        prefix_rows = np.zeros((Bl, self.cache.pages_per_req), np.int32)
+        prefix_pages = np.zeros((Bl,), np.int32)
+        for i, s in enumerate(slots):
+            hit = self._slot_prefix.get(s)
+            if hit is not None:
+                _, _, n_use, pages = hit  # already clamped at admit time
+                cached[ids_rows[i]] = n_use * self.page_size
+                prefix_pages[ids_rows[i]] = n_use
+                prefix_rows[ids_rows[i], :n_use] = pages
+
+        if S_max > self.prefill_chunk or cached.any():
+            # Chunked path: bucketed chunks through the paged-history
+            # attention, with per-request start offsets — covers both long
+            # prompts (a 33k prompt pads to the next 2k chunk instead of the
+            # next power of two) and prefix-cache hits (compute starts after
+            # the shared pages; their KV is already in the pool).
+            resid_max = int((lens - cached).max())
+            Wc = min(self.prefill_chunk, next_pow2(max(resid_max, 1)))
+            n_chunks = cdiv(resid_max, Wc)
             ids = np.full((Bl, n_chunks * Wc), self.pad_id, np.int32)
             for i, t in enumerate(token_lists):
-                ids[ids_rows[i], : len(t)] = t
-            self.cache = self._alloc_jit(self.cache, req_ids, lens_arr)
+                c = int(cached[ids_rows[i]])
+                ids[ids_rows[i], : len(t) - c] = t[c:]
+            self.cache = self._alloc_jit(
+                self.cache, req_ids, lens_arr,
+                jnp.asarray(prefix_rows), jnp.asarray(prefix_pages),
+            )
             last_logits = jnp.zeros(
                 (Bl, self.config.vocab_size), jnp.float32
             )
+            cached_arr = jnp.asarray(cached)
             for ci in range(n_chunks):
                 self.cache, last_logits = self._prefill_chunk_jit(
                     self.params,
@@ -510,13 +705,14 @@ class InferenceEngine:
                     jnp.asarray(ids[:, ci * Wc : (ci + 1) * Wc]),
                     lens_arr,
                     req_ids,
-                    jnp.asarray(ci * Wc, jnp.int32),
+                    cached_arr + ci * Wc,
                     last_logits,
                 )
             tok, lp = self._prefill_sample_jit(
                 last_logits, self._next_key(), samp_p
             )
             last = last_logits
+            self.stats.prefill_tokens += int((lens - cached).sum())
         else:
             S = next_pow2(S_max)
             ids = np.full((Bl, S), self.pad_id, np.int32)
@@ -531,7 +727,7 @@ class InferenceEngine:
                 self._next_key(),
                 samp_p,
             )
-        self.stats.prefill_tokens += int(lens.sum())
+            self.stats.prefill_tokens += int(lens.sum())
         return (
             np.asarray(tok)[pos],
             lens[pos],

@@ -294,21 +294,39 @@ def _pop_pages(cache: PagedKVCache, need: jax.Array):
 
 
 def alloc_prefill(
-    cache: PagedKVCache, req_ids: jax.Array, lens: jax.Array
+    cache: PagedKVCache,
+    req_ids: jax.Array,
+    lens: jax.Array,
+    prefix_rows: jax.Array | None = None,  # int32 [B, ppr] shared page ids
+    prefix_pages: jax.Array | None = None,  # int32 [B] — count of shared pages
 ) -> PagedKVCache:
     """Allocate pages for ``lens[b]`` tokens in request slot ``req_ids[b]``
     and reset those slots' lengths. Traceable; no host round-trips
-    (replaces mem_manager.py:243 + model_executor.py:263's host loop)."""
+    (replaces mem_manager.py:243 + model_executor.py:263's host loop).
+
+    Prefix caching (beyond-reference; the reference left its prompt-cache
+    kernel dead, context_flashattention_nopad.py:140): when
+    ``prefix_pages[b] > 0``, the first k table entries point at SHARED
+    already-filled pages from ``prefix_rows`` and only the tail pages are
+    popped — the host owns sharing/refcounts (executor/engine.py
+    PrefixCache); this function just splices the table."""
     B = req_ids.shape[0]
     ppr = cache.pages_per_req
     pages_needed = cdiv(lens, cache.page_size)  # [B]
     j = jnp.arange(ppr, dtype=jnp.int32)
-    need = (j[None, :] < pages_needed[:, None]).reshape(-1)  # [B*ppr]
+    start = (
+        jnp.zeros((B,), jnp.int32) if prefix_pages is None else prefix_pages
+    )
+    need = (
+        (j[None, :] >= start[:, None]) & (j[None, :] < pages_needed[:, None])
+    ).reshape(-1)  # [B*ppr]
     page_ids, new_top = _pop_pages(cache, need)
     page_ids = page_ids.reshape(B, ppr)
     rows = jnp.where(
         need.reshape(B, ppr), page_ids, jnp.zeros((), jnp.int32)
     )
+    if prefix_rows is not None:
+        rows = jnp.where(j[None, :] < start[:, None], prefix_rows, rows)
     return PagedKVCache(
         kv_pages=cache.kv_pages,
         page_table=cache.page_table.at[req_ids].set(rows, mode="drop"),
@@ -344,18 +362,29 @@ def alloc_decode(
     )
 
 
-def free_requests(cache: PagedKVCache, req_ids: jax.Array) -> PagedKVCache:
+def free_requests(
+    cache: PagedKVCache,
+    req_ids: jax.Array,
+    keep_pages: jax.Array | None = None,  # int32 [B] — leading pages NOT freed
+) -> PagedKVCache:
     """Push all pages owned by the given request slots back onto the free
     stack and zero their lengths (replaces release_ref/free_all,
     mem_manager.py:260-305). Sentinel rows (req_id >= max_reqs, used for
-    group padding under dp) are fully ignored."""
+    group padding under dp) are fully ignored. ``keep_pages[b]`` leading
+    pages stay allocated (shared-prefix pages owned by the host's
+    PrefixCache after release)."""
     B = req_ids.shape[0]
     ppr = cache.pages_per_req
     valid_req = req_ids < cache.max_reqs  # [B]
     used = cdiv(cache.seq_lens[req_ids], cache.page_size)  # [B] (clamp-read)
     used = jnp.where(valid_req, used, 0)
+    keep = (
+        jnp.zeros((B,), jnp.int32) if keep_pages is None else keep_pages
+    )
     j = jnp.arange(ppr, dtype=jnp.int32)
-    mask = (j[None, :] < used[:, None]).reshape(-1)
+    mask = (
+        (j[None, :] >= keep[:, None]) & (j[None, :] < used[:, None])
+    ).reshape(-1)
     pages = cache.page_table[req_ids].reshape(-1)
     m = mask.astype(jnp.int32)
     rank = jnp.cumsum(m) - m
@@ -372,6 +401,25 @@ def free_requests(cache: PagedKVCache, req_ids: jax.Array) -> PagedKVCache:
             jnp.zeros((B,), jnp.int32), mode="drop"
         ),
         free_stack=new_stack,
+        free_top=cache.free_top.at[0].add(total),
+    )
+
+
+def push_pages(
+    cache: PagedKVCache, pages: jax.Array, valid: jax.Array
+) -> PagedKVCache:
+    """Return arbitrary (group-local) page ids to the free stack — the
+    eviction path for host-owned shared-prefix pages."""
+    m = valid.astype(jnp.int32)
+    rank = jnp.cumsum(m) - m
+    total = jnp.sum(m)
+    stack_len = cache.free_stack.shape[0]
+    dst = jnp.where(valid, cache.free_top[0] + rank, stack_len)
+    return PagedKVCache(
+        kv_pages=cache.kv_pages,
+        page_table=cache.page_table,
+        seq_lens=cache.seq_lens,
+        free_stack=cache.free_stack.at[dst].set(pages, mode="drop"),
         free_top=cache.free_top.at[0].add(total),
     )
 

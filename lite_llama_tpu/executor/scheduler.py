@@ -134,7 +134,7 @@ class ContinuousBatchingScheduler:
                 len(r.prompt_tokens) + r.max_gen_len, eng.config.max_seq_len
             )
             # Atomic slot + page placement (group-aware under dp).
-            slot = eng.try_admit(max_total)
+            slot = eng.try_admit(max_total, r.prompt_tokens)
             if slot is None:
                 break  # not enough KV room yet; wait for completions
             r.max_total = max_total

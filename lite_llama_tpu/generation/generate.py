@@ -73,7 +73,7 @@ class TextGenerator:
         max_total = [
             min(l + max_gen_len, eng.config.max_seq_len) for l in lens
         ]
-        slots = eng.admit_requests(max_total)
+        slots = eng.admit_requests(max_total, prompts=prompt_tokens)
         sampling = _make_sampling(B, temperature, top_p, top_k)
 
         first_tok, lens_arr, _, lp0 = eng.prefill(prompt_tokens, sampling, slots)
@@ -139,7 +139,7 @@ class TextGenerator:
         B = len(prompt_tokens)
         lens = [len(t) for t in prompt_tokens]
         max_total = [min(l + max_gen_len, eng.config.max_seq_len) for l in lens]
-        slots = eng.admit_requests(max_total)
+        slots = eng.admit_requests(max_total, prompts=prompt_tokens)
         sampling = _make_sampling(B, temperature, top_p, top_k)
         try:
             first_tok, _, _, lp0 = eng.prefill(prompt_tokens, sampling, slots)

@@ -27,13 +27,21 @@ def _default_inv_freq(base: float, head_dim: int) -> np.ndarray:
 
 
 def compute_inv_freq(config) -> Tuple[np.ndarray, float]:
-    """Returns (inv_freq fp32 [head_dim//2], attention_scaling scalar)."""
+    """Returns (inv_freq fp32 [head_dim//2], attention_scaling scalar).
+
+    Unknown ``rope_type`` values raise instead of silently degrading to the
+    default frequencies (a checkpoint that asks for a scaling scheme we
+    don't implement must not produce quietly-wrong long-context logits)."""
     head_dim = config.head_dim
     base = config.rope_theta
     scaling = config.rope_scaling or {}
     rope_type = scaling.get("rope_type", scaling.get("type", "default"))
-    fn = _ROPE_INIT.get(rope_type, _rope_default)
-    inv_freq, att_scale = fn(base, head_dim, scaling, config)
+    if rope_type not in _ROPE_INIT:
+        raise ValueError(
+            f"unsupported rope_scaling type {rope_type!r}; "
+            f"implemented: {sorted(_ROPE_INIT)}"
+        )
+    inv_freq, att_scale = _ROPE_INIT[rope_type](base, head_dim, scaling, config)
     return inv_freq.astype(np.float32), float(att_scale)
 
 
@@ -101,10 +109,51 @@ def _rope_yarn(base, head_dim, scaling, config):
     return out, att_scale
 
 
+def _rope_dynamic(base, head_dim, scaling, config):
+    """Dynamic NTK scaling (HF ``_compute_dynamic_ntk_parameters``; reference
+    re-init hook RotaryEmbedding.py:173-180). HF recomputes the base as the
+    live sequence grows; this engine's frequencies are static per build, so
+    the target length is the engine's ``max_seq_len`` — the longest sequence
+    this instance will ever see — clamped below by
+    ``max_position_embeddings`` (where the formula is the identity)."""
+    factor = scaling.get("factor", 1.0)
+    mpe = config.max_position_embeddings
+    seq_len = max(getattr(config, "max_seq_len", mpe), mpe)
+    base = base * ((factor * seq_len / mpe) - (factor - 1)) ** (
+        head_dim / (head_dim - 2)
+    )
+    return _default_inv_freq(base, head_dim), 1.0
+
+
+def _rope_longrope(base, head_dim, scaling, config):
+    """LongRoPE (HF ``_compute_longrope_parameters``): per-band short/long
+    rescale factors with a sqrt-log attention temperature. The short/long
+    choice keys off the engine's max_seq_len vs the pretrained context."""
+    long_factor = np.asarray(scaling["long_factor"], np.float64)
+    short_factor = np.asarray(scaling["short_factor"], np.float64)
+    orig = getattr(config, "original_max_position_embeddings", None)
+    if orig:
+        factor = config.max_position_embeddings / orig
+    else:
+        orig = config.max_position_embeddings
+        factor = scaling.get("factor", 1.0)
+    att = scaling.get("attention_factor")
+    if att is None:
+        att = (
+            1.0 if factor <= 1.0
+            else math.sqrt(1 + math.log(factor) / math.log(orig))
+        )
+    seq_len = max(getattr(config, "max_seq_len", orig), 1)
+    ext = long_factor if seq_len > orig else short_factor
+    exps = np.arange(0, head_dim, 2, dtype=np.float64) / head_dim
+    return 1.0 / (ext * base**exps), att
+
+
 _ROPE_INIT = {
     "default": _rope_default,
     "linear": _rope_linear,
     "llama3": _rope_llama3,
     "yarn": _rope_yarn,
-    "dynamic": _rope_default,  # dynamic NTK degenerates to default at build
+    "dynamic": _rope_dynamic,
+    "longrope": _rope_longrope,
 }

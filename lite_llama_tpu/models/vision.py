@@ -18,9 +18,7 @@ import jax
 import jax.numpy as jnp
 
 
-def quick_gelu(x):
-    xf = x.astype(jnp.float32)
-    return (xf * jax.nn.sigmoid(1.702 * xf)).astype(x.dtype)
+from ..ops.activations import quick_gelu  # noqa: E402 (shared activation lib)
 
 
 def layer_norm(x, scale, bias, eps=1e-5):

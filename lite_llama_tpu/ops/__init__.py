@@ -17,6 +17,7 @@ from functools import partial
 import jax
 
 from . import ref
+from . import activations  # noqa: F401 (activation inventory)
 from .ref import (  # re-export pure ops that XLA already fuses optimally
     apply_rope,
     rope_cos_sin,

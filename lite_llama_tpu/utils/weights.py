@@ -6,9 +6,12 @@ tables, K+V fusion, and metadata copying — re-designed for the TPU engine:
 
 - Source is HF **safetensors** shards (or an in-memory state dict for tests),
   not a pickled ``.pth``.
-- Fusion goes further than the reference's K+V merge (apply_weight_convert.py:58):
-  Q, K and V fuse into one ``qkv_proj`` and gate+up into one ``gate_up_proj``
-  so each decoder layer is two fat MXU matmuls plus down/o.
+- Fusion at this (checkpoint) level covers K+V into ``wkv`` and gate+up into
+  ``gate_up_proj``, matching the reference's K+V merge
+  (apply_weight_convert.py:58). The further Q+K+V fusion into one ``wqkv``
+  matmul is an ENGINE-BUILD transform (models/decoder.py fuse_qkv_params),
+  not a checkpoint format — its head ordering depends on the
+  tensor-parallel degree, which only the engine knows.
 - Output weights are stored ``[in, out]`` (ready for ``x @ W``; HF stores
   ``[out, in]``) and stacked across layers ``[L, ...]`` for the scanned
   decoder (models/decoder.py).
