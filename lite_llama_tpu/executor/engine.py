@@ -48,6 +48,18 @@ def next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+def bucket_width(n: int) -> int:
+    """Smallest {pow2, 1.5*pow2} bucket >= n. Finer than pure pow2 so the
+    canonical bs=12 batch runs at width 12, not 16 (pow2 padding cost a
+    measured ~12% of decode throughput at the north-star config), while the
+    compiled-shape count stays O(log n)."""
+    p = next_pow2(n)
+    if n <= 2:
+        return n
+    threeq = 3 * p // 4  # 1.5 * (p/2)
+    return threeq if n <= threeq else p
+
+
 @dataclasses.dataclass
 class EngineStats:
     prefill_tokens: int = 0
@@ -141,7 +153,7 @@ class InferenceEngine:
         decode_chunk: int = 32,
         prefill_chunk: int = 2048,
         kv_quant=False,  # False | True/'int8' | 'fp8' (scale-free e4m3)
-        fuse_qkv: bool = True,
+        fuse_qkv: Optional[bool] = None,  # None = auto (fuse when tp > 1)
         prefix_cache: bool = False,
         forward_prefill=None,
         forward_decode=None,
@@ -154,6 +166,13 @@ class InferenceEngine:
         self.config = config
         self.shard = ShardingPolicy(mesh=mesh)
         self.dp = self.shard.dp
+        if fuse_qkv is None:
+            # Measured on v5e (A/B at the north-star config): fusing Q+KV
+            # into one matmul is ~1% SLOWER single-chip (the post-dot split
+            # slices cost more fusion opportunity than the saved weight-pass
+            # issue), but under tensor parallelism one dot means one clean
+            # sharded matmul + collective pattern — fuse only there.
+            fuse_qkv = self.shard.tp > 1
         if fuse_qkv:
             # One [H, (Nq+2*Nkv)*D] matmul per layer instead of separate
             # q / kv dots (shard-periodic head order; models/decoder.py).
@@ -209,15 +228,8 @@ class InferenceEngine:
         cs = (
             self.shard.dp_cache_specs(self.cache) if self.dp > 1 else None
         )
-        self._prefill_jit = jax.jit(
-            self._dp_wrap(
-                self._prefill_step,
-                in_specs=(PS(), cs, PS("dp", None), PS("dp"), PS("dp"),
-                          PS(), SamplingParams(PS("dp"), PS("dp"), PS("dp"))),
-                out_specs=(cs, PS("dp"), PS("dp", None), PS("dp")),
-            ),
-            donate_argnums=(1,),
-        )
+        self._prefill_jits = {}
+        self._prefill_sample_jits = {}
         self._chunk_jits = {}
         # Long-prompt (chunked) prefill path; also serves prefix-cache hits
         # (per-request start offsets).
@@ -237,14 +249,6 @@ class InferenceEngine:
                 out_specs=(cs, PS("dp", None)),
             ),
             donate_argnums=(1, 6),
-        )
-        self._prefill_sample_jit = jax.jit(
-            self._dp_wrap(
-                self._prefill_sample,
-                in_specs=(PS("dp", None), PS(),
-                          SamplingParams(PS("dp"), PS("dp"), PS("dp"))),
-                out_specs=(PS("dp"), PS("dp")),
-            )
         )
         self._free_jit = jax.jit(
             self._dp_wrap(
@@ -299,12 +303,12 @@ class InferenceEngine:
         to dp*W): rows [g*W, (g+1)*W) belong to dp group g, carrying LOCAL
         slot ids; unused rows get the sentinel M_local (reads clamp, writes
         drop). Returns (pos, req_local, W) where pos[i] is input row i's
-        layout position. With dp=1 this degenerates to the old pad-to-pow2
-        batch bucketing."""
+        layout position; W is bucket_width-padded ({pow2, 1.5*pow2}). With
+        dp=1 this degenerates to plain batch bucketing."""
         groups = [[] for _ in range(self.dp)]
         for i, s in enumerate(slots):
             groups[s // self.M_local].append(i)
-        W = max(1, next_pow2(max(len(g) for g in groups)))
+        W = max(1, bucket_width(max(len(g) for g in groups)))
         pos = np.zeros((len(slots),), np.int64)
         req_local = np.full((self.dp * W,), self.M_local, np.int32)
         for g, idxs in enumerate(groups):
@@ -462,7 +466,55 @@ class InferenceEngine:
             return want
 
     # -- jitted step functions -------------------------------------------
-    def _prefill_step(self, params, cache, ids, lens, req_ids, key, sampling):
+    def _samp_mode(self, sampling) -> str:
+        """Host-side static exact/approx decision (the params are always
+        host-known at the engine API boundary; baking the mode statically
+        keeps the resident decode graph free of the exact path's [B, V]
+        sort — a never-taken lax.cond branch still cost ~1% of decode)."""
+        from ..generation.sampling import needs_exact_sampling
+
+        return "exact" if needs_exact_sampling(
+            np.asarray(sampling.temperature),
+            np.asarray(sampling.top_p),
+            np.asarray(sampling.top_k),
+        ) else "approx"
+
+    def _get_prefill_jit(self, mode: str):
+        if mode not in self._prefill_jits:
+            from jax.sharding import PartitionSpec as PS
+
+            cs = (
+                self.shard.dp_cache_specs(self.cache)
+                if self.dp > 1 else None
+            )
+            fn = partial(self._prefill_step, sample_mode=mode)
+            wrapped = self._dp_wrap(
+                fn,
+                in_specs=(PS(), cs, PS("dp", None), PS("dp"), PS("dp"),
+                          PS(), SamplingParams(PS("dp"), PS("dp"), PS("dp"))),
+                out_specs=(cs, PS("dp"), PS("dp", None), PS("dp")),
+            )
+            self._prefill_jits[mode] = jax.jit(wrapped, donate_argnums=(1,))
+        return self._prefill_jits[mode]
+
+    def _get_prefill_sample_jit(self, mode: str):
+        if mode not in self._prefill_sample_jits:
+            from jax.sharding import PartitionSpec as PS
+
+            fn = partial(self._prefill_sample, sample_mode=mode)
+            wrapped = self._dp_wrap(
+                fn,
+                in_specs=(PS("dp", None), PS(),
+                          SamplingParams(PS("dp"), PS("dp"), PS("dp"))),
+                out_specs=(PS("dp"), PS("dp")),
+            )
+            self._prefill_sample_jits[mode] = jax.jit(wrapped)
+        return self._prefill_sample_jits[mode]
+
+    def _prefill_step(
+        self, params, cache, ids, lens, req_ids, key, sampling,
+        sample_mode="auto",
+    ):
         cfg = self.config
         key = self._dp_key(key)
         cache = alloc_prefill(cache, req_ids, lens)
@@ -477,7 +529,7 @@ class InferenceEngine:
             shard=self._mshard, last_only=True,
         )
         cache = dataclasses.replace(cache, kv_pages=kv)
-        tok = sample(last, key, sampling)
+        tok = sample(last, key, sampling, mode=sample_mode)
         lp = log_softmax_gather(last, tok)
         return cache, tok, last, lp
 
@@ -509,15 +561,15 @@ class InferenceEngine:
         last_logits = jnp.where(ends_here[:, None], logits, last_logits)
         return cache, last_logits
 
-    def _prefill_sample(self, last_logits, key, sampling):
+    def _prefill_sample(self, last_logits, key, sampling, sample_mode="auto"):
         key = self._dp_key(key)
-        tok = sample(last_logits, key, sampling)
+        tok = sample(last_logits, key, sampling, mode=sample_mode)
         lp = log_softmax_gather(last_logits, tok)
         return tok, lp
 
     def _decode_chunk(
         self, params, cache, req_ids, tok, done, stop_lens, key, sampling,
-        n_limit, *, n_steps: int,
+        n_limit, *, n_steps: int, sample_mode: str = "auto",
     ):
         """Runs ``n_steps`` (static, bucketed) scan iterations but only the
         first ``n_limit`` (traced) advance any state — steps past the limit
@@ -546,7 +598,7 @@ class InferenceEngine:
                 shard=self._mshard,
             )
             cache = dataclasses.replace(cache, kv_pages=kv)
-            next_tok = sample(logits, step_key, sampling)
+            next_tok = sample(logits, step_key, sampling, mode=sample_mode)
             # Steps past n_limit are frozen: carry and emissions unchanged.
             next_tok = jnp.where(step_ok, next_tok, tok)
             emit = jnp.where(done | ~step_ok, pad, next_tok)
@@ -708,7 +760,7 @@ class InferenceEngine:
                     cached_arr + ci * Wc,
                     last_logits,
                 )
-            tok, lp = self._prefill_sample_jit(
+            tok, lp = self._get_prefill_sample_jit(self._samp_mode(samp_p))(
                 last_logits, self._next_key(), samp_p
             )
             last = last_logits
@@ -718,7 +770,9 @@ class InferenceEngine:
             ids = np.full((Bl, S), self.pad_id, np.int32)
             for i, t in enumerate(token_lists):
                 ids[ids_rows[i], : len(t)] = t
-            self.cache, tok, last, lp = self._prefill_jit(
+            self.cache, tok, last, lp = self._get_prefill_jit(
+                self._samp_mode(samp_p)
+            )(
                 self.params,
                 self.cache,
                 jnp.asarray(ids),
@@ -758,6 +812,7 @@ class InferenceEngine:
             out[pos] = np.asarray(x)
             return jnp.asarray(out)
 
+        mode = self._samp_mode(sampling)
         tok_l = lay(tok, 0, np.int32)
         done_l = lay(done, True, bool)  # pad rows are born done
         stop_l = lay(stop_lens, 0, np.int32)
@@ -778,7 +833,7 @@ class InferenceEngine:
                 else next_pow2(n)
             )
             self.cache, tok_l, done_l, toks, lps = self._get_chunk_jit(
-                run_steps
+                run_steps, mode
             )(
                 self.params,
                 self.cache,
@@ -804,15 +859,16 @@ class InferenceEngine:
             lps_out,
         )
 
-    def _get_chunk_jit(self, n_steps: int):
-        """The decode chunk is compiled per static step count; with dp > 1
-        each variant is wrapped in the manual-dp shard_map (shard_map has no
-        static-kwarg passthrough, so the static binds via partial first)."""
-        if n_steps not in self._chunk_jits:
-            from functools import partial
+    def _get_chunk_jit(self, n_steps: int, mode: str = "approx"):
+        """The decode chunk is compiled per static (step count, sampling
+        mode); with dp > 1 each variant is wrapped in the manual-dp
+        shard_map (shard_map has no static-kwarg passthrough, so the
+        statics bind via partial first)."""
+        if (n_steps, mode) not in self._chunk_jits:
             from jax.sharding import PartitionSpec as PS
 
-            fn = partial(self._decode_chunk, n_steps=n_steps)
+            fn = partial(self._decode_chunk, n_steps=n_steps,
+                         sample_mode=mode)
             cs = (
                 self.shard.dp_cache_specs(self.cache)
                 if self.dp > 1 else None
@@ -825,5 +881,7 @@ class InferenceEngine:
                 out_specs=(cs, PS("dp"), PS("dp"), PS(None, "dp"),
                            PS(None, "dp")),
             )
-            self._chunk_jits[n_steps] = jax.jit(wrapped, donate_argnums=(1,))
-        return self._chunk_jits[n_steps]
+            self._chunk_jits[(n_steps, mode)] = jax.jit(
+                wrapped, donate_argnums=(1,)
+            )
+        return self._chunk_jits[(n_steps, mode)]

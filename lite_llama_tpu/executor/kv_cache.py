@@ -263,7 +263,12 @@ def create_kv_cache(
         # Group-local page ids: each group's stack segment is its own
         # [0, p_local) pool.
         free_stack=jnp.tile(jnp.arange(p_local, dtype=jnp.int32), groups),
-        free_top=jnp.full((groups,), p_local, jnp.int32),
+        # Scalar for the single-group case (a [1]-array carry costs an extra
+        # scatter in the scanned decode step); [G] under data parallelism.
+        free_top=(
+            jnp.asarray(p_local, jnp.int32) if groups == 1
+            else jnp.full((groups,), p_local, jnp.int32)
+        ),
     )
 
 
@@ -278,6 +283,18 @@ def kv_cache_bytes(
 # Allocation (all shapes static; everything masked)
 
 
+def _top(cache: "PagedKVCache") -> jax.Array:
+    """Scalar local stack top (free_top is a scalar with one group, [G]
+    inside/outside the dp shard_map otherwise — see create_kv_cache)."""
+    return cache.free_top if cache.free_top.ndim == 0 else cache.free_top[0]
+
+
+def _set_top(cache: "PagedKVCache", new_top: jax.Array) -> jax.Array:
+    if cache.free_top.ndim == 0:
+        return new_top
+    return cache.free_top.at[0].set(new_top)
+
+
 def _pop_pages(cache: PagedKVCache, need: jax.Array):
     """Pop pages for a flat boolean ``need`` mask (LOCAL group view — see
     PagedKVCache docstring).
@@ -288,9 +305,10 @@ def _pop_pages(cache: PagedKVCache, need: jax.Array):
     need = need.astype(jnp.int32)
     rank = jnp.cumsum(need) - need  # exclusive cumsum: rank among allocations
     total = jnp.sum(need)
-    idx = cache.free_top[0] - 1 - rank
+    top = _top(cache)
+    idx = top - 1 - rank
     page_ids = cache.free_stack[jnp.maximum(idx, 0)]
-    return page_ids, cache.free_top.at[0].add(-total)
+    return page_ids, _set_top(cache, top - total)
 
 
 def alloc_prefill(
@@ -390,7 +408,8 @@ def free_requests(
     rank = jnp.cumsum(m) - m
     total = jnp.sum(m)
     stack_len = cache.free_stack.shape[0]
-    dst = jnp.where(mask, cache.free_top[0] + rank, stack_len)  # OOB -> drop
+    top = _top(cache)
+    dst = jnp.where(mask, top + rank, stack_len)  # OOB -> drop
     new_stack = cache.free_stack.at[dst].set(pages, mode="drop")
     return PagedKVCache(
         kv_pages=cache.kv_pages,
@@ -401,7 +420,7 @@ def free_requests(
             jnp.zeros((B,), jnp.int32), mode="drop"
         ),
         free_stack=new_stack,
-        free_top=cache.free_top.at[0].add(total),
+        free_top=_set_top(cache, top + total),
     )
 
 
@@ -414,13 +433,14 @@ def push_pages(
     rank = jnp.cumsum(m) - m
     total = jnp.sum(m)
     stack_len = cache.free_stack.shape[0]
-    dst = jnp.where(valid, cache.free_top[0] + rank, stack_len)
+    top = _top(cache)
+    dst = jnp.where(valid, top + rank, stack_len)
     return PagedKVCache(
         kv_pages=cache.kv_pages,
         page_table=cache.page_table,
         seq_lens=cache.seq_lens,
         free_stack=cache.free_stack.at[dst].set(pages, mode="drop"),
-        free_top=cache.free_top.at[0].add(total),
+        free_top=_set_top(cache, top + total),
     )
 
 

@@ -62,11 +62,28 @@ def top_k_mask(logits: jax.Array, top_k: jax.Array) -> jax.Array:
     return jnp.where(logits >= cutoff, logits, -jnp.inf)
 
 
+def needs_exact_sampling(
+    temperature, top_p, top_k, nucleus_k: int = NUCLEUS_K
+) -> bool:
+    """Host-side predicate: do these (numpy) sampling params require the
+    exact full-sort path? The engine passes the answer as a STATIC mode so
+    the common decode graph contains no lax.cond and no [B, V] sort."""
+    import numpy as np
+
+    return bool(
+        np.any(np.asarray(top_k) > nucleus_k)
+        | np.any(
+            (np.asarray(temperature) >= 1.5) & (np.asarray(top_p) >= 0.99)
+        )
+    )
+
+
 def sample(
     logits: jax.Array,  # [B, V] fp32
     key: jax.Array,
     params: SamplingParams,
     nucleus_k: int = NUCLEUS_K,
+    mode: str = "auto",  # "auto" | "approx" | "exact"
 ) -> jax.Array:
     """Sample next tokens [B] int32. Greedy where temperature <= 0.
 
@@ -81,9 +98,13 @@ def sample(
     Exactness fallback: when any request asks for ``top_k > nucleus_k`` or a
     near-untruncated distribution at high temperature (``temperature >= 1.5``
     with ``top_p >= 0.99``, where rank-64 truncation visibly reshapes the
-    tail), the whole batch falls back to the exact full-sort path via
-    ``lax.cond`` — the slow path costs only when someone opts into settings
-    that need it (tests/test_sampling_dist.py checks both regimes).
+    tail), the whole batch falls back to the exact full-sort path
+    (tests/test_sampling_dist.py checks both regimes). ``mode`` selects it:
+    "auto" decides with an in-graph lax.cond (works for fully traced
+    callers); the engine instead inspects its host-side params
+    (needs_exact_sampling) and passes "approx"/"exact" STATICALLY — a
+    resident cond branch carrying a [B, V] sort measurably slowed the
+    common decode path even when never taken.
     """
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     temp = jnp.maximum(params.temperature, 1e-6)[:, None]
@@ -110,11 +131,18 @@ def sample(
         masked = top_p_mask(top_k_mask(scaled, params.top_k), params.top_p)
         return jax.random.categorical(key, masked, axis=-1)
 
-    needs_exact = jnp.any(
-        (params.top_k > nucleus_k)
-        | ((params.temperature >= 1.5) & (params.top_p >= 0.99))
-    )
-    sampled = jax.lax.cond(needs_exact, exact_path, approx_path, scaled, key)
+    if mode == "approx":
+        sampled = approx_path(scaled, key)
+    elif mode == "exact":
+        sampled = exact_path(scaled, key)
+    else:
+        needs_exact = jnp.any(
+            (params.top_k > nucleus_k)
+            | ((params.temperature >= 1.5) & (params.top_p >= 0.99))
+        )
+        sampled = jax.lax.cond(
+            needs_exact, exact_path, approx_path, scaled, key
+        )
     return jnp.where(
         params.temperature <= 0.0, greedy_tok, sampled.astype(jnp.int32)
     )

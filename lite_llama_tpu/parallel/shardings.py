@@ -151,6 +151,8 @@ class ShardingPolicy:
             return self._ns(None, None, "dp", "tp")
         if leaf.ndim == 2:
             return self._ns("dp", None)
+        if leaf.ndim == 0:  # scalar free_top (single-group cache)
+            return self._ns()
         return self._ns("dp")
 
     def dp_cache_specs(self, cache):
@@ -164,6 +166,8 @@ class ShardingPolicy:
                 return PS(None, None, "dp", None)
             if leaf.ndim == 2:
                 return PS("dp", None)
+            if leaf.ndim == 0:
+                return PS()
             return PS("dp")
 
         return jax.tree_util.tree_map(rule, cache)
