@@ -25,6 +25,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compile cache: the adaptive decode-width ladder compiles once
+# per width; cache survives restarts so a serving process warms instantly.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -35,6 +40,9 @@ def main():
     ap.add_argument("--max-seq-len", type=int, default=1024)
     ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--quick", action="store_true", help="4-layer smoke run")
+    ap.add_argument("--prefix-cache", action="store_true",
+                    help="enable page-granular prompt-prefix reuse; half "
+                         "the submitted requests share a system prompt")
     args = ap.parse_args()
 
     from lite_llama_tpu.executor.engine import InferenceEngine
@@ -59,28 +67,35 @@ def main():
         engine = InferenceEngine(
             cfg, params, page_size=64, max_reqs=args.max_reqs,
             num_pages=args.max_reqs * (args.max_seq_len // 64) + 16,
-            decode_chunk=args.chunk,
+            decode_chunk=args.chunk, prefix_cache=args.prefix_cache,
         )
 
     sched = ContinuousBatchingScheduler(engine)
     metrics = MetricsLogger(engine, interval_s=5.0)
     rng = np.random.default_rng(0)
 
-    # Warm-up: compile the prefill length-buckets + decode chunk outside
-    # the timed region.
-    for plen in (8, 16, 33, 63):
+    # Warm-up: compile the prefill length-buckets AND the adaptive decode
+    # width ladder outside the timed region (widths bucket to {pow2,
+    # 1.5*pow2} <= max_reqs; each is its own compiled shape, so an unwarmed
+    # width pays a multi-second XLA compile mid-serve).
+    for plen in (8, 16, 33, 63, 250):
         sched.submit(rng.integers(0, cfg.vocab_size, size=plen).tolist(),
                      max_gen_len=8)
     sched.run()
+    for _ in range(args.max_reqs):
+        sched.submit(rng.integers(0, cfg.vocab_size, size=16).tolist(),
+                     max_gen_len=48)
+    sched.run()
 
+    system_prompt = rng.integers(0, cfg.vocab_size, size=192).tolist()
     t0 = time.perf_counter()
     for i in range(args.requests):
         plen = int(rng.integers(8, 64))
         glen = int(rng.integers(32, 256))
-        sched.submit(
-            rng.integers(0, cfg.vocab_size, size=plen).tolist(),
-            max_gen_len=glen, temperature=0.6, top_p=0.9,
-        )
+        prompt = rng.integers(0, cfg.vocab_size, size=plen).tolist()
+        if args.prefix_cache and i % 2 == 0:
+            prompt = system_prompt + prompt  # shared-prefix population
+        sched.submit(prompt, max_gen_len=glen, temperature=0.6, top_p=0.9)
     done = sched.run(on_tokens=lambda *_: metrics.maybe_emit())
     dt = time.perf_counter() - t0
 
@@ -96,6 +111,11 @@ def main():
         f"\n{len(done)} requests, {out_tokens} output tokens in {dt:.2f}s "
         f"-> {out_tokens / dt:.1f} tokens/s sustained"
     )
+    if args.prefix_cache:
+        print(
+            f"prefix cache: {engine.stats.prefix_hits} hits, "
+            f"{engine.stats.prefix_tokens_reused} prompt tokens reused"
+        )
     if lat:
         print(
             f"latency p50/p95: {np.percentile(lat, 50):.2f}/"

@@ -736,7 +736,13 @@ class InferenceEngine:
             # next power of two) and prefix-cache hits (compute starts after
             # the shared pages; their KV is already in the pool).
             resid_max = int((lens - cached).max())
-            Wc = min(self.prefill_chunk, next_pow2(max(resid_max, 1)))
+            # Chunk width >= page_size: the history-streaming kernel walks
+            # pool pages in BK-sized blocks, so BK (= min(block_k, W)) must
+            # be a multiple of the page size.
+            Wc = min(
+                self.prefill_chunk,
+                max(next_pow2(max(resid_max, 1)), self.page_size),
+            )
             n_chunks = cdiv(resid_max, Wc)
             ids = np.full((Bl, n_chunks * Wc), self.pad_id, np.int32)
             for i, t in enumerate(token_lists):

@@ -73,6 +73,7 @@ def chunked_prefill_attention(
         _use_pallas()
         and not kv_pool.quantized
         and (kv_pool.pages.dtype == k.dtype or q.dtype == jax.numpy.float32)
+        and q.shape[1] >= kv_pool.page_size  # kernel needs BK % page_size == 0
     ):
         from . import attention_prefill
 
