@@ -855,6 +855,12 @@ class InferenceEngine:
             all_lps.append(np.asarray(lps)[:n])
             self.stats.chunks += 1
             remaining -= n
+            # Early exit once every live row is done (the download of toks
+            # above already synced, so this is a host-side check) — callers
+            # pass their full remaining budget in ONE decode() call and the
+            # per-chunk arrays (layout, sampling, stops) upload only once.
+            if remaining > 0 and bool(np.asarray(done_l)[pos].all()):
+                break
         out = np.concatenate(all_toks, axis=0)[:, pos]
         lps_out = np.concatenate(all_lps, axis=0)[:, pos]
         self.stats.decode_tokens += int(out.shape[0] * out.shape[1])

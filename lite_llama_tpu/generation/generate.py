@@ -86,17 +86,20 @@ class TextGenerator:
         tok = jnp.asarray(first_tok)
         done = jnp.asarray(done_host)
         steps_left = max(mt - l - 1 for mt, l in zip(max_total, lens))
-        while steps_left > 0 and not bool(done_host.all()):
-            n = min(eng.decode_chunk, steps_left)
+        if steps_left > 0 and not bool(done_host.all()):
+            # ONE decode call for the whole budget: the engine chunks
+            # internally (and early-exits when all rows finish), so the
+            # batch layout + sampling arrays upload once instead of once
+            # per chunk — per-chunk host->device transfers measurably
+            # dominated generation overhead on tunneled devices.
             tok, done, toks, lps = eng.decode(
-                slots, tok, done, max_total, sampling, n_steps=n
+                slots, tok, done, max_total, sampling, n_steps=steps_left
             )
             for i in range(B):
                 if not done_host[i]:
                     out_tokens[i].extend(int(t) for t in toks[:, i])
                     out_lps[i].extend(float(v) for v in lps[:, i])
             done_host = np.asarray(done)
-            steps_left -= n
 
         eng.release_slots(slots, max_total)
         results = []
