@@ -74,6 +74,7 @@ def chunked_prefill_attention(
         and not kv_pool.quantized
         and (kv_pool.pages.dtype == k.dtype or q.dtype == jax.numpy.float32)
         and q.shape[1] >= kv_pool.page_size  # kernel needs BK % page_size == 0
+        and q.shape[-1] % 128 == 0  # per-head pool DMA slices need D % 128
     ):
         from . import attention_prefill
 

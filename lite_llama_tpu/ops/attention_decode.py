@@ -53,7 +53,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 N_BUF = 2  # double buffering
+_WIDE_OVERRIDE = os.environ.get("LITE_LLAMA_TPU_WIDE_DECODE") == "1"
 DEFAULT_UNROLL = 4  # pages fetched + processed per loop iteration
 LOG2E = math.log2(math.e)
 NEG_INF = float(-1e30)  # large-negative instead of -inf: exp2 flushes to 0
@@ -92,6 +95,7 @@ def _decode_kernel(
     UNROLL: int,
     mat_dtype,
     quantized: bool = False,
+    wide: bool = False,
 ):
     if quantized:
         (kv_scales_ref, out_ref, m_ref, l_ref, kv_buf, scale_buf, sems) = rest
@@ -108,19 +112,41 @@ def _decode_kernel(
     length = seq_lens_ref[b]
     n_iters = pl.cdiv(length, bk)  # 0 for empty slots
 
-    Nq, D = q_ref.shape[1], q_ref.shape[2]
     Hkv = num_kv_heads
-    G = Nq // Hkv
-    Wp = UNROLL * ps * Hkv  # score columns per iteration
+    Nq = q_ref.shape[1]
+    if wide:
+        # "Wide" formulation (required for head_dim % 128 != 0, where the
+        # [(f t h), D] lane-split reshape below cannot lower): q arrives as
+        # BLOCK-DIAGONAL rows [Nq, Hkv*D] (row n holds q_n in its kv-head's
+        # lane segment, zeros elsewhere), so q_wide @ K_rows^T directly
+        # yields per-TOKEN scores — same MXU flops as the grouped form (the
+        # contraction widens by Hkv while the score matrix narrows by Hkv),
+        # Hkv-fold less softmax work, no junk-column mask, and the kv tiles
+        # feed the dot with only sublane-merge reshapes. The [Nq, Hkv*D]
+        # P@V output keeps every head's segment; the wrapper extracts the
+        # right segment per row in XLA.
+        HD = q_ref.shape[2]
+        D = HD // Hkv
+        Wp = UNROLL * ps  # score columns per iteration = tokens
+        acc_w = HD
+    else:
+        D = q_ref.shape[2]
+        G = Nq // Hkv
+        Wp = UNROLL * ps * Hkv  # score columns per iteration
+        acc_w = D
     q = (q_ref[0].astype(jnp.float32) * (sm_scale * LOG2E)).astype(
         mat_dtype
-    )  # [Nq, D] — bf16 rows feed the MXU fast path; accumulate is fp32
+    )  # bf16 rows feed the MXU fast path; accumulate is fp32
 
-    # Column decomposition (token-major rows): col = (f*ps + t)*Hkv + h2.
     col = jax.lax.broadcasted_iota(jnp.int32, (Nq, Wp), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (Nq, Wp), 0)
-    head_ok = (col % Hkv) == (row // G)  # block-identity mask (loop-invariant)
-    pos_base = col // Hkv  # in-window position
+    if wide:
+        head_ok = True
+        pos_base = col  # columns ARE token positions
+    else:
+        # Column decomposition (token-major rows): col = (f*ps + t)*Hkv + h2.
+        row = jax.lax.broadcasted_iota(jnp.int32, (Nq, Wp), 0)
+        head_ok = (col % Hkv) == (row // G)  # block-identity (loop-invariant)
+        pos_base = col // Hkv  # in-window position
 
     def block_copies(bb, ii, slot):
         """Copy descriptors for block ii of request bb (clamped tail pages —
@@ -216,6 +242,8 @@ def _decode_kernel(
                 SL = scale_buf.shape[-1]
 
                 def deq(c):
+                    # (requires D % 128 == 0: the [tokens, Hkv, D] view is a
+                    # lane-split; the ops dispatcher guards this)
                     t3 = kv_buf[slot, :, c].reshape(
                         UNROLL * ps, Hkv, D
                     ).astype(mat_dtype)
@@ -223,16 +251,28 @@ def _decode_kernel(
                     # Minor-dim insertion is 32-bit-only in Mosaic: insert
                     # in f32, then convert down for the multiply.
                     scN = sc[:, :Hkv].astype(jnp.float32)[..., None]
-                    return (t3 * scN.astype(mat_dtype)).reshape(Wp, D)
+                    deqd = t3 * scN.astype(mat_dtype)
+                    if wide:
+                        return deqd.reshape(UNROLL * ps, Hkv * D)
+                    return deqd.reshape(Wp, D)
 
                 k, v = deq(0), deq(1)
+            elif wide:
+                # [UNROLL, 2, ps, Hkv*D] -> [tokens, Hkv*D]: sublane merges
+                # only — legal for ANY head_dim.
+                k = kv_buf[slot, :, 0].reshape(
+                    UNROLL * ps, Hkv * D
+                ).astype(mat_dtype)
+                v = kv_buf[slot, :, 1].reshape(
+                    UNROLL * ps, Hkv * D
+                ).astype(mat_dtype)
             else:
                 k = kv_buf[slot, :, 0].reshape(Wp, D).astype(mat_dtype)
                 v = kv_buf[slot, :, 1].reshape(Wp, D).astype(mat_dtype)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [Nq, Wp] — cross-head blocks are junk, masked next
+            )  # [Nq, Wp] (grouped: cross-head junk, masked next)
             valid = head_ok & (it * bk + pos_base < length)
             s = jnp.where(valid, s, NEG_INF)
 
@@ -248,7 +288,7 @@ def _decode_kernel(
 
         m0 = jnp.full((Nq, 1), NEG_INF, jnp.float32)
         l0 = jnp.zeros((Nq, 1), jnp.float32)
-        acc0 = jnp.zeros((Nq, D), jnp.float32)
+        acc0 = jnp.zeros((Nq, acc_w), jnp.float32)
         m, l, acc = jax.lax.fori_loop(0, n_iters, body, (m0, l0, acc0))
         out_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
         m_ref[0] = jnp.broadcast_to(m, (Nq, 128))
@@ -295,6 +335,14 @@ def paged_flash_decode(
     if sm_scale is None:
         sm_scale = 1.0 / (D**0.5)
 
+    # Wide (block-diagonal-q) formulation: REQUIRED when head_dim is not a
+    # multiple of 128 (the grouped form's [(f t h), D] lane-split reshape
+    # cannot lower — e.g. Llama-3.2-1B's D=64); optionally forced via
+    # LITE_LLAMA_TPU_WIDE_DECODE=1 for A/B runs at D=128.
+    wide = (D % 128 != 0) or _WIDE_OVERRIDE
+    HD = Hkv * D
+    G = Nq // Hkv
+
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
     buf_idx0 = jnp.zeros((1,), jnp.int32)
     init0 = jnp.ones((1,), jnp.int32)
@@ -303,9 +351,21 @@ def paged_flash_decode(
     # exactly either way), bf16 q (production) rides the fast path.
     mat_dtype = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
 
+    if wide:
+        head_of_row = jnp.arange(Nq, dtype=jnp.int32) // G  # [Nq]
+        lane_head = jnp.arange(HD, dtype=jnp.int32) // D  # [HD]
+        diag = head_of_row[:, None] == lane_head[None, :]  # [Nq, HD]
+        q_in = jnp.where(diag[None], jnp.tile(q, (1, 1, Hkv)), 0).astype(
+            q.dtype
+        )
+        q_w = HD
+    else:
+        q_in = q
+        q_w = D
+
     in_specs = [
         pl.BlockSpec(
-            (1, Nq, D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+            (1, Nq, q_w), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
@@ -329,7 +389,7 @@ def paged_flash_decode(
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
-                (1, Nq, D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+                (1, Nq, q_w), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, Nq, 128), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
@@ -348,6 +408,7 @@ def paged_flash_decode(
         UNROLL=unroll,
         mat_dtype=mat_dtype,
         quantized=quantized,
+        wide=wide,
     )
     # Clamp at 0: an empty slot (seq_len 0) must stay 0 under the virtual-
     # page protocol, or the kernel's ==0 empty-slot skip misses it and a
@@ -360,7 +421,7 @@ def paged_flash_decode(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, Nq, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Nq, q_w), q.dtype),
             jax.ShapeDtypeStruct((B, Nq, 128), jnp.float32),
             jax.ShapeDtypeStruct((B, Nq, 128), jnp.float32),
         ],
@@ -368,13 +429,22 @@ def paged_flash_decode(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(layer_arr, page_table, kv_lens, buf_idx0, init0, q, kv_pages,
+    )(layer_arr, page_table, kv_lens, buf_idx0, init0, q_in, kv_pages,
       *extra_inputs)
+    if wide:
+        # Pick each row's own head segment out of the [Nq, Hkv*D] output
+        # (plain XLA — arbitrary reshapes are fine outside the kernel).
+        idx = jnp.broadcast_to(
+            (jnp.arange(Nq, dtype=jnp.int32) // G)[None, :, None, None],
+            (B, Nq, 1, D),
+        )
+        out = jnp.take_along_axis(
+            out.reshape(B, Nq, Hkv, D), idx, axis=2
+        )[:, :, 0]
     if k_new is None:
         return out
     # Exact LSE combine with the virtual newest token (exp2 domain, scales
     # folded the same way as inside the kernel).
-    G = Nq // Hkv
     m1 = m[..., 0]  # [B, Nq]
     l1 = l[..., 0]
     qf = q.astype(jnp.float32) * (sm_scale * LOG2E)

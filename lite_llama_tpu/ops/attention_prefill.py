@@ -203,6 +203,110 @@ def _prefill_kernel(
         out_ref[0, 0] = out.reshape(G, BQ, D).astype(out_ref.dtype)
 
 
+def _prefill_kernel_vmem(
+    seq_lens_ref,  # [B] int32 (scalar prefetch)
+    q_ref,  # [1, 1, BQ, D] VMEM
+    k_ref,  # [1, 1, S, D] VMEM (whole key stream for this (b, kv head))
+    v_ref,  # [1, 1, S, D] VMEM
+    out_ref,  # [1, 1, BQ, D] VMEM
+    *,
+    sm_scale: float,
+    block_k: int,
+):
+    """Fallback prefill kernel for head_dim % 128 != 0 (e.g. Llama-3.2-1B's
+    D=64): the streamed kernel's manual [BK, D] HBM DMAs need a 128-multiple
+    trailing dim, while Pallas's automatic BlockSpec pipeline pads narrow
+    minor dims transparently. Keeps the whole (b, kv-head) K/V stream
+    VMEM-resident (the round-1 design), so it caps near S~8k — long-context
+    + narrow-head models fall back to the XLA path at the dispatch level."""
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    BQ, D = q_ref.shape[2], q_ref.shape[3]
+    BK = block_k
+    seq_len = seq_lens_ref[b]
+
+    q = q_ref[0, 0].astype(jnp.float32) * (sm_scale * LOG2E)  # [BQ, D]
+    q_pos = qi * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
+    kv_hi = jnp.minimum((qi + 1) * BQ, seq_len)
+    n_blocks = pl.cdiv(kv_hi, BK)
+
+    def body(j, carry):
+        m, l, acc = carry
+        k = k_ref[0, 0, pl.ds(j * BK, BK), :]
+        v = v_ref[0, 0, pl.ds(j * BK, BK), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        k_pos = j * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
+        valid = (k_pos <= q_pos) & (k_pos < seq_len)
+        s = jnp.where(valid, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp2(s - m_new)
+        corr = jnp.exp2(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc * corr + pv
+
+    m0 = jnp.full((BQ, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((BQ, 1), jnp.float32)
+    acc0 = jnp.zeros((BQ, D), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+    out_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
+
+
+def _flash_prefill_vmem(
+    q, k, v, seq_lens, sm_scale, interpret, block_q, block_k
+):
+    B, S, Nq, D = q.shape
+    Hkv = k.shape[2]
+    G = Nq // Hkv
+    BQ = min(block_q, S)
+    BK = min(block_k, S)
+    assert S % BQ == 0 and S % BK == 0, (S, BQ, BK)
+    qt = q.transpose(0, 2, 1, 3)  # [B, Nq, S, D]
+    kt = k.transpose(0, 2, 1, 3)  # [B, Hkv, S, D]
+    vt = v.transpose(0, 2, 1, 3)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Nq, S // BQ),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, BQ, D), lambda b, h, i, *_: (b, h, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, S, D), lambda b, h, i, *_: (b, h // G, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, S, D), lambda b, h, i, *_: (b, h // G, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, BQ, D), lambda b, h, i, *_: (b, h, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    kernel = functools.partial(
+        _prefill_kernel_vmem, sm_scale=float(sm_scale), block_k=BK
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Nq, S, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(seq_lens, qt, kt, vt)
+    return out.transpose(0, 2, 1, 3)
+
+
 def _flash_prefill_impl(
     q, k, v, chunk_lens, start_pos, kv_pages, layer, table_rows,
     sm_scale, interpret, block_q, block_k, has_history,
@@ -303,6 +407,18 @@ def flash_prefill(
     block_k: int = DEFAULT_BK,
 ) -> jax.Array:
     """Fresh prefill: causal ragged attention over one padded chunk."""
+    D = q.shape[-1]
+    if sm_scale is None:
+        sm_scale = 1.0 / (D**0.5)
+    if D % 128 != 0:
+        # Narrow-head models (D=64 etc): the streamed kernel's manual HBM
+        # DMAs need 128-multiple trailing dims; use the VMEM-resident
+        # BlockSpec pipeline (capped near S~8k — acceptable for these
+        # models' typical contexts).
+        return _flash_prefill_vmem(
+            q, k, v, seq_lens, sm_scale, interpret,
+            min(block_q, 128), min(block_k, 128),
+        )
     return _flash_prefill_impl(
         q, k, v, seq_lens, None, None, None, None,
         sm_scale, interpret, block_q, block_k, has_history=False,
