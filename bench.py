@@ -85,7 +85,36 @@ def run_engine(engine, prompts, gen_len, chunk):
     }
 
 
+_EMITTED = False
+_PENDING = None
+
+
+def _stash(result):
+    """Record the result-so-far; extras mutate its detail dict in place."""
+    global _PENDING
+    _PENDING = result
+
+
+def _emit():
+    """Print the final JSON exactly once — also wired to SIGTERM/SIGINT so a
+    driver-side timeout mid-extras still captures the main measurement."""
+    global _EMITTED
+    if _PENDING is not None and not _EMITTED:
+        _EMITTED = True
+        print(json.dumps(_PENDING), flush=True)
+
+
+def _on_term(signum, frame):
+    _emit()
+    raise SystemExit(143)
+
+
 def main():
+    import signal
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, _on_term)
+
     from lite_llama_tpu.models.decoder import init_decoder_params
     from lite_llama_tpu.models.presets import get_preset
     from lite_llama_tpu.quant.qtensor import quantize_decoder_params
@@ -139,17 +168,21 @@ def main():
         # Naive XLA baseline FIRST, on a clean chip: its dense no-donation
         # KV double-buffers ~5.6 GB on top of the bf16 weights, which does
         # not fit next to a resident engine.
-        from benchmarks.naive_baseline import naive_decode_tps
+        try:
+            from benchmarks.naive_baseline import naive_decode_tps
 
-        params = fresh()
-        naive = naive_decode_tps(
-            cfg, params, bs, prompt_len, max_seq=min(max_seq, 2048),
-        )
-        detail["naive"] = {k: (round(v, 3) if isinstance(v, float) else v)
-                           for k, v in naive.items()}
-        progress("naive", detail["naive"])
-        del params
-        gc.collect()
+            params = fresh()
+            naive = naive_decode_tps(
+                cfg, params, bs, prompt_len, max_seq=min(max_seq, 2048),
+            )
+            detail["naive"] = {k: (round(v, 3) if isinstance(v, float) else v)
+                               for k, v in naive.items()}
+            progress("naive", detail["naive"])
+            del params
+            gc.collect()
+        except Exception as e:  # keep the main row measurable regardless
+            progress("naive-failed", repr(e))
+            naive = None
 
     params = fresh()
     if quant:
@@ -165,8 +198,36 @@ def main():
     progress("main", main_row)
     if naive is not None:
         vs_naive = round(tps / naive["tokens_per_s"], 3)
+    tag = f" w{quant}" if quant else ""
+    tag += f" kv-{'fp8' if kv_quant == 'fp8' else 'int8'}" if kv_quant else ""
+    result = {
+        "metric": f"tokens/s {model}{tag} bs={bs} gen={gen_len} ({jax.default_backend()})",
+        "value": tps,
+        "unit": "tokens/s",
+        "vs_baseline": round(tps / BASELINE_TOKENS_PER_S, 3),
+        "detail": detail,
+    }
+    if vs_naive is not None:
+        result["vs_naive"] = vs_naive
+    _stash(result)  # printed at exit; extras enrich detail in place
 
-    if extras and not quant:
+    try:
+        _run_extras_rows(
+            extras and not quant, cfg, engine, prompts, bs, prompt_len,
+            gen_len, page_size, chunk, detail, progress, fresh,
+        )
+    except Exception as e:
+        progress("extras-failed", repr(e))
+    return
+
+
+def _run_extras_rows(enabled, cfg, engine, prompts, bs, prompt_len, gen_len,
+                     page_size, chunk, detail, progress, fresh):
+    from lite_llama_tpu.quant.qtensor import quantize_decoder_params
+
+    if not enabled:
+        return
+    if True:
         # INT8 weight-only row (quantizes IN PLACE from the engine's live
         # params to stay under the HBM budget, then rebuilds the engine).
         live_params = engine.params
@@ -196,19 +257,9 @@ def main():
         del engine_kv
         gc.collect()
 
-    tag = f" w{quant}" if quant else ""
-    tag += f" kv-{'fp8' if kv_quant == 'fp8' else 'int8'}" if kv_quant else ""
-    result = {
-        "metric": f"tokens/s {model}{tag} bs={bs} gen={gen_len} ({jax.default_backend()})",
-        "value": tps,
-        "unit": "tokens/s",
-        "vs_baseline": round(tps / BASELINE_TOKENS_PER_S, 3),
-        "detail": detail,
-    }
-    if vs_naive is not None:
-        result["vs_naive"] = vs_naive
-    print(json.dumps(result))
-
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    finally:
+        _emit()
