@@ -212,8 +212,13 @@ def main():
     _stash(result)  # printed at exit; extras enrich detail in place
 
     try:
+        # Hand the engine over in a box and drop our own reference: the
+        # int8 stage frees the bf16 engine before building its replacement,
+        # which only works if no caller frame still holds it.
+        box = {"engine": engine}
+        del engine
         _run_extras_rows(
-            extras and not quant, cfg, engine, prompts, bs, prompt_len,
+            extras and not quant, cfg, box, prompts, bs, prompt_len,
             gen_len, page_size, chunk, detail, progress, fresh,
         )
     except Exception as e:
@@ -221,41 +226,41 @@ def main():
     return
 
 
-def _run_extras_rows(enabled, cfg, engine, prompts, bs, prompt_len, gen_len,
+def _run_extras_rows(enabled, cfg, box, prompts, bs, prompt_len, gen_len,
                      page_size, chunk, detail, progress, fresh):
     from lite_llama_tpu.quant.qtensor import quantize_decoder_params
 
     if not enabled:
         return
-    if True:
-        # INT8 weight-only row (quantizes IN PLACE from the engine's live
-        # params to stay under the HBM budget, then rebuilds the engine).
-        live_params = engine.params
-        del engine
-        gc.collect()
-        q8 = quantize_decoder_params(live_params, jnp.int8,
-                                     drop_originals=True)
-        del live_params
-        gc.collect()
-        jax.clear_caches()
-        engine8 = build_engine(cfg, q8, bs, prompt_len, gen_len, page_size,
-                               chunk, kv_quant=False)
-        del q8
-        detail["int8_weights"] = run_engine(engine8, prompts, gen_len, chunk)
-        progress("int8_weights", detail["int8_weights"])
-        del engine8
-        gc.collect()
+    # INT8 weight-only row (quantizes IN PLACE from the engine's live
+    # params to stay under the HBM budget, then rebuilds the engine; the
+    # caller's reference arrived in ``box`` and is dropped here so the bf16
+    # engine actually frees).
+    live_params = box.pop("engine").params
+    gc.collect()
+    q8 = quantize_decoder_params(live_params, jnp.int8,
+                                 drop_originals=True)
+    del live_params
+    gc.collect()
+    jax.clear_caches()
+    engine8 = build_engine(cfg, q8, bs, prompt_len, gen_len, page_size,
+                           chunk, kv_quant=False)
+    del q8
+    detail["int8_weights"] = run_engine(engine8, prompts, gen_len, chunk)
+    progress("int8_weights", detail["int8_weights"])
+    del engine8
+    gc.collect()
 
-        # INT8-KV row (bf16 weights, quantized cache — Pallas kernel path).
-        params = fresh()
-        engine_kv = build_engine(cfg, params, bs, prompt_len, gen_len,
-                                 page_size, chunk, kv_quant=True)
-        del params
-        gc.collect()
-        detail["int8_kv"] = run_engine(engine_kv, prompts, gen_len, chunk)
-        progress("int8_kv", detail["int8_kv"])
-        del engine_kv
-        gc.collect()
+    # INT8-KV row (bf16 weights, quantized cache — Pallas kernel path).
+    params = fresh()
+    engine_kv = build_engine(cfg, params, bs, prompt_len, gen_len,
+                             page_size, chunk, kv_quant=True)
+    del params
+    gc.collect()
+    detail["int8_kv"] = run_engine(engine_kv, prompts, gen_len, chunk)
+    progress("int8_kv", detail["int8_kv"])
+    del engine_kv
+    gc.collect()
 
 
 if __name__ == "__main__":

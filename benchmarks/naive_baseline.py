@@ -40,10 +40,6 @@ from lite_llama_tpu.models.rotary import compute_inv_freq
 from lite_llama_tpu.ops import ref as ops_ref
 
 
-def _layer_names(params):
-    return params["layers"]
-
-
 def _forward_naive(params, cfg, h, kv, pos, seq_len, max_seq):
     """One position's forward through all layers, python-unrolled.
 
@@ -61,8 +57,7 @@ def _forward_naive(params, cfg, h, kv, pos, seq_len, max_seq):
     for li in range(L):
         lp = jax.tree_util.tree_map(lambda x: x[li], lp_all)
         normed, residual = ops_ref.skip_rms_norm(
-            h if residual is None else h, residual, lp["attn_norm"],
-            cfg.rms_norm_eps,
+            h, residual, lp["attn_norm"], cfg.rms_norm_eps,
         )
         q = jnp.einsum("bh,hnd->bnd", normed, lp["wq"])
         kvp = jnp.einsum("bh,hcnd->bcnd", normed, lp["wkv"])

@@ -273,6 +273,9 @@ class InferenceEngine:
         )
         self._slot_prefix = {}  # slot -> (group, key, n_pages, local_rows)
         self._slot_prompt = {}  # slot -> prompt token list (for registration)
+        self._slot_filled = set()  # slots that actually ran prefill — only
+        # these may DONATE pages on release (a rolled-back admission or a
+        # prefill exception must not register never-allocated page ids)
         self.pad_id = config.pad_token_id if config.pad_token_id is not None else 0
         eos = config.eos_token_ids
         self._eos_array = jnp.asarray(eos if eos else [-1], jnp.int32)
@@ -327,14 +330,18 @@ class InferenceEngine:
     def _host_free_pages(self):
         return sum(self._pages_by_group)
 
-    def _evict_for(self, g: int, need: int) -> None:
+    def _evict_for(self, g: int, need: int, protect=None) -> None:
         """Evict LRU zero-ref prefix entries from group g until ``need``
-        pages are free (or nothing evictable remains)."""
+        pages are free (or nothing evictable remains). ``protect`` shields a
+        key about to be acquired — eviction must never free the entry whose
+        pages the caller is splicing in."""
         if self.prefix is None:
             return
         for key, n_pages in self.prefix[g].evictable():
             if self._pages_by_group[g] >= need:
                 return
+            if key == protect:
+                continue
             pages = self.prefix[g].pop(key)
             arr = np.asarray(pages, np.int32)
             self.cache = self._evict_for_group_jit(g, arr)
@@ -375,9 +382,18 @@ class InferenceEngine:
                 continue
             k = hits[g][1] if hits[g] else 0
             need = total_pages - k
-            if self._pages_by_group[g] < need:
-                self._evict_for(g, need)
-            if self._pages_by_group[g] < need:
+            # Rank on HYPOTHETICAL capacity (free + evictable, excluding the
+            # hit entry itself); actual eviction happens only in the group
+            # that wins, so losing groups keep their cached prefixes.
+            protect = hits[g][0] if hits[g] else None
+            evictable = (
+                sum(
+                    n for key, n in self.prefix[g].evictable()
+                    if key != protect
+                )
+                if self.prefix is not None else 0
+            )
+            if self._pages_by_group[g] + evictable < need:
                 continue
             rank = (k, self._pages_by_group[g])
             if best is None or rank > best_rank:
@@ -386,6 +402,11 @@ class InferenceEngine:
             return None
         hit = hits[best]
         k = hit[1] if hit else 0
+        need = total_pages - k
+        if self._pages_by_group[best] < need:
+            self._evict_for(best, need, protect=hit[0] if hit else None)
+        if self._pages_by_group[best] < need:
+            return None  # eviction raced a refcount; treat as no capacity
         self._pages_by_group[best] -= total_pages - k
         slot = self._slots_by_group[best].pop(0)
         if hit:
@@ -648,14 +669,22 @@ class InferenceEngine:
                 g = s // self.M_local
                 used = self._slot_prefix.pop(s, None)
                 prompt = self._slot_prompt.pop(s, None)
+                filled = s in self._slot_filled
+                self._slot_filled.discard(s)
                 if used is not None:
                     # Shared pages belong to the cache entry; drop our ref.
                     _, key, n_pages, _ = used
                     self.prefix[g].release(key)
                     keep[i] = n_pages
                     returned[i] = cdiv(lens[i], self.page_size) - n_pages
-                elif prompt is not None and len(prompt) >= self.page_size:
-                    # Donate this prompt's full pages as a new prefix entry.
+                elif (
+                    filled
+                    and prompt is not None
+                    and len(prompt) >= self.page_size
+                ):
+                    # Donate this prompt's full pages as a new prefix entry
+                    # (only slots that actually prefilled — a rolled-back
+                    # admission's table rows are zeros/stale).
                     keys = PrefixCache.chain_keys(prompt, self.page_size)
                     if keys and keys[-1] not in self.prefix[g].entries:
                         if table_host is None:
@@ -788,6 +817,7 @@ class InferenceEngine:
                 samp_p,
             )
             self.stats.prefill_tokens += int(lens.sum())
+        self._slot_filled.update(slots)
         return (
             np.asarray(tok)[pos],
             lens[pos],

@@ -92,10 +92,13 @@ def paged_decode_attention(
     max_seq_len=None, sm_scale=None, k_new=None, v_new=None,
 ):
     # bf16, scale-free fp8 AND int8+scales pools all ride the Pallas kernel:
-    # int8 scales are DMA'd per page as lane-dim segments and applied in the
-    # score domain (attention_decode._decode_kernel), preserving the int8
-    # bandwidth saving end to end.
-    if _use_pallas():
+    # int8 scales are DMA'd per page alongside the tiles and applied in the
+    # kernel (attention_decode._decode_kernel), preserving the int8 bandwidth
+    # saving end to end. Exception: quantized pools with head_dim % 128 != 0
+    # — the in-kernel dequant needs the [tokens, Hkv, D] lane-split view,
+    # which only lowers for 128-multiple head dims, so those fall back to
+    # the XLA dequantizing gather.
+    if _use_pallas() and not (kv_pool.quantized and q.shape[-1] % 128 != 0):
         from . import attention_decode
 
         return attention_decode.paged_flash_decode(

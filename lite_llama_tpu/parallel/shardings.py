@@ -140,14 +140,19 @@ class ShardingPolicy:
         return specs
 
     # -- KV cache ---------------------------------------------------------
-    def _cache_leaf_sharding(self, leaf):
-        """kv pages / scales [L, 2, T, ·]: token rows over dp (each dp group
-        owns its requests' pages by construction — executor/kv_cache.py
-        PagedKVCache docstring), channels (KV heads) over tp so decode
-        attention is chip-local. Bookkeeping arrays (page_table [M, ppr],
-        seq_lens/free_stack/free_top [·]) shard their request/page axis over
-        dp. Dispatch by rank."""
+    def _cache_leaf_sharding(self, leaf, is_scales: bool = False):
+        """kv pages [L, 2, T, Hkv*D]: token rows over dp (each dp group owns
+        its requests' pages by construction — executor/kv_cache.py
+        PagedKVCache docstring), head channels over tp so decode attention
+        is chip-local. Scale planes [L, 2, T, SCALE_LANES] shard dp on the
+        token axis but REPLICATE their lane axis: only the first Hkv lanes
+        are valid, so a tp slice of the 128 padded lanes would not line up
+        with the pages' head shard (shards > 0 would read zero padding).
+        Bookkeeping arrays (page_table [M, ppr], seq_lens/free_stack/
+        free_top [·]) shard their request/page axis over dp."""
         if leaf.ndim == 4:
+            if is_scales:
+                return self._ns(None, None, "dp", None)
             return self._ns(None, None, "dp", "tp")
         if leaf.ndim == 2:
             return self._ns("dp", None)
@@ -219,7 +224,35 @@ class ShardingPolicy:
     def shard_cache(self, cache):
         if self.mesh is None:
             return cache
-        return jax.tree_util.tree_map(
-            lambda leaf: jax.device_put(leaf, self._cache_leaf_sharding(leaf)),
-            cache,
+        import dataclasses as _dc
+
+        pool = cache.kv_pages
+        new_pool = _dc.replace(
+            pool,
+            pages=jax.device_put(
+                pool.pages, self._cache_leaf_sharding(pool.pages)
+            ),
+            scales=(
+                None if pool.scales is None else jax.device_put(
+                    pool.scales,
+                    self._cache_leaf_sharding(pool.scales, is_scales=True),
+                )
+            ),
         )
+        rest = _dc.replace(
+            cache,
+            kv_pages=new_pool,
+            page_table=jax.device_put(
+                cache.page_table, self._cache_leaf_sharding(cache.page_table)
+            ),
+            seq_lens=jax.device_put(
+                cache.seq_lens, self._cache_leaf_sharding(cache.seq_lens)
+            ),
+            free_stack=jax.device_put(
+                cache.free_stack, self._cache_leaf_sharding(cache.free_stack)
+            ),
+            free_top=jax.device_put(
+                cache.free_top, self._cache_leaf_sharding(cache.free_top)
+            ),
+        )
+        return rest

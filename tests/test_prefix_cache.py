@@ -119,6 +119,47 @@ def test_eviction_frees_pages_under_pressure():
     assert int(eng.cache.free_top.sum()) == eng._host_free_pages
 
 
+def test_rolled_back_admission_never_donates():
+    """An admission that rolls back (capacity exhausted) releases slots that
+    were NEVER prefilled — their page-table rows are zeros/stale and must
+    not be registered as prefix entries (code-review finding: registering
+    them spliced page 0 into later requests and double-freed on eviction)."""
+    cfg = _cfg()
+    params = _params(cfg)
+    eng = _engine(cfg, params, num_pages=16, max_reqs=4)
+    gen = TextGenerator(eng)
+    long_prompt = list(range(40))
+    with pytest.raises(RuntimeError):
+        # Two 100-token budgets cannot fit a 16-page pool -> rollback.
+        gen.generate_tokens([long_prompt, long_prompt[::-1]],
+                            max_gen_len=60, temperature=0.0)
+    assert eng.prefix[0].entries == {}  # nothing donated from the rollback
+    assert eng._host_free_pages == eng.num_pages
+    assert not eng._slot_prompt and not eng._slot_prefix
+    # The engine still works normally afterwards.
+    out = gen.generate_tokens([long_prompt], max_gen_len=4, temperature=0.0)
+    assert out[0].token_ids
+
+
+def test_eviction_never_frees_the_entry_being_acquired():
+    """A prefix hit whose entry is also the only evictable LRU entry must
+    survive eviction-for-capacity (code-review finding: acquire() after
+    evicting the same key raised KeyError / aliased freed pages)."""
+    cfg = _cfg()
+    params = _params(cfg)
+    eng = _engine(cfg, params, num_pages=16, max_reqs=4)
+    gen = TextGenerator(eng)
+    sys_prompt = list(range(60, 77))  # 2 full pages cached on release
+    gen.generate_tokens([sys_prompt], max_gen_len=3, temperature=0.0)
+    assert len(eng.prefix[0].entries) == 1
+    # Now a request sharing the prefix that needs nearly the whole pool:
+    # eviction pressure must not pop the entry we are about to splice.
+    out = gen.generate_tokens([sys_prompt + [1, 2, 3]], max_gen_len=80,
+                              temperature=0.0)
+    assert out[0].token_ids
+    assert eng.stats.prefix_hits == 1
+
+
 def test_prefix_cache_with_dp_groups():
     if len(jax.devices()) < 2:
         pytest.skip("needs >= 2 virtual devices")
