@@ -162,28 +162,6 @@ def main():
         jax.clear_caches()
         return init_decoder_params(cfg, jax.random.PRNGKey(0))
 
-    vs_naive = None
-    naive = None
-    if extras and not quant:
-        # Naive XLA baseline FIRST, on a clean chip: its dense no-donation
-        # KV double-buffers ~5.6 GB on top of the bf16 weights, which does
-        # not fit next to a resident engine.
-        try:
-            from benchmarks.naive_baseline import naive_decode_tps
-
-            params = fresh()
-            naive = naive_decode_tps(
-                cfg, params, bs, prompt_len, max_seq=min(max_seq, 2048),
-            )
-            detail["naive"] = {k: (round(v, 3) if isinstance(v, float) else v)
-                               for k, v in naive.items()}
-            progress("naive", detail["naive"])
-            del params
-            gc.collect()
-        except Exception as e:  # keep the main row measurable regardless
-            progress("naive-failed", repr(e))
-            naive = None
-
     params = fresh()
     if quant:
         qdtype = jnp.int8 if quant == "int8" else jnp.float8_e4m3fn
@@ -196,8 +174,6 @@ def main():
     detail.update(main_row)
     tps = main_row["tokens_per_s"]
     progress("main", main_row)
-    if naive is not None:
-        vs_naive = round(tps / naive["tokens_per_s"], 3)
     tag = f" w{quant}" if quant else ""
     tag += f" kv-{'fp8' if kv_quant == 'fp8' else 'int8'}" if kv_quant else ""
     result = {
@@ -207,37 +183,51 @@ def main():
         "vs_baseline": round(tps / BASELINE_TOKENS_PER_S, 3),
         "detail": detail,
     }
-    if vs_naive is not None:
-        result["vs_naive"] = vs_naive
-    _stash(result)  # printed at exit; extras enrich detail in place
+    _stash(result)  # printed at exit; extras enrich it in place
 
     try:
-        # Hand the engine over in a box and drop our own reference: the
-        # int8 stage frees the bf16 engine before building its replacement,
-        # which only works if no caller frame still holds it.
-        box = {"engine": engine}
+        # The main row is measured and safe; everything below only enriches
+        # it (and a driver-side timeout still emits via the SIGTERM hook).
+        # Free the main engine entirely first — the naive baseline's dense
+        # no-donation KV needs a clean chip.
         del engine
+        gc.collect()
         _run_extras_rows(
-            extras and not quant, cfg, box, prompts, bs, prompt_len,
-            gen_len, page_size, chunk, detail, progress, fresh,
+            extras and not quant, cfg, result, prompts, bs, prompt_len,
+            gen_len, page_size, chunk, detail, progress, fresh, max_seq, tps,
         )
     except Exception as e:
         progress("extras-failed", repr(e))
     return
 
 
-def _run_extras_rows(enabled, cfg, box, prompts, bs, prompt_len, gen_len,
-                     page_size, chunk, detail, progress, fresh):
+def _run_extras_rows(enabled, cfg, result, prompts, bs, prompt_len, gen_len,
+                     page_size, chunk, detail, progress, fresh, max_seq, tps):
     from lite_llama_tpu.quant.qtensor import quantize_decoder_params
 
     if not enabled:
         return
-    # INT8 weight-only row (quantizes IN PLACE from the engine's live
-    # params to stay under the HBM budget, then rebuilds the engine; the
-    # caller's reference arrived in ``box`` and is dropped here so the bf16
-    # engine actually frees).
-    live_params = box.pop("engine").params
-    gc.collect()
+    # Naive XLA baseline on the (now clean) chip — the honest same-hardware
+    # HF-generate equivalent for vs_naive.
+    try:
+        from benchmarks.naive_baseline import naive_decode_tps
+
+        params = fresh()
+        naive = naive_decode_tps(
+            cfg, params, bs, prompt_len, max_seq=min(max_seq, 2048),
+        )
+        detail["naive"] = {k: (round(v, 3) if isinstance(v, float) else v)
+                           for k, v in naive.items()}
+        result["vs_naive"] = round(tps / naive["tokens_per_s"], 3)
+        progress("naive", detail["naive"])
+        del params
+        gc.collect()
+    except Exception as e:
+        progress("naive-failed", repr(e))
+
+    # INT8 weight-only row: quantize from a fresh tree with drop_originals
+    # (peak = bf16 + int8 transient, fine on an otherwise-empty chip).
+    live_params = fresh()
     q8 = quantize_decoder_params(live_params, jnp.int8,
                                  drop_originals=True)
     del live_params
