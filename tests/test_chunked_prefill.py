@@ -139,6 +139,25 @@ def test_streamed_prefill_long_sequence():
     )
 
 
+@pytest.mark.slow
+def test_streamed_prefill_16k():
+    """S=16384 parity (VERDICT r1 next #4's done-criterion): single head,
+    4k blocks keep the interpreted iteration count tractable."""
+    B, S, Nq, Hkv, D = 1, 16384, 1, 1, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, S, Nq, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, Hkv, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, Hkv, D), jnp.float32)
+    lens = jnp.asarray([16000], jnp.int32)
+    got = flash_prefill(q, k, v, lens, interpret=True,
+                        block_q=4096, block_k=4096)
+    want = ref.prefill_attention(q, k, v, lens)
+    sel = np.r_[0:64, 8000:8064, 15936:16000]  # spot-check rows
+    np.testing.assert_allclose(
+        np.asarray(got[0, sel]), np.asarray(want[0, sel]),
+        rtol=5e-5, atol=5e-5,
+    )
+
+
 @pytest.mark.quick
 def test_engine_long_prompt_matches_single_shot():
     """Greedy generation with prefill_chunk smaller than the prompt must
