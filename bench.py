@@ -225,32 +225,29 @@ def _run_extras_rows(enabled, cfg, result, prompts, bs, prompt_len, gen_len,
     except Exception as e:
         progress("naive-failed", repr(e))
 
-    # INT8 weight-only row: quantize from a fresh tree with drop_originals
-    # (peak = bf16 + int8 transient, fine on an otherwise-empty chip).
-    live_params = fresh()
-    q8 = quantize_decoder_params(live_params, jnp.int8,
-                                 drop_originals=True)
-    del live_params
-    gc.collect()
-    jax.clear_caches()
-    engine8 = build_engine(cfg, q8, bs, prompt_len, gen_len, page_size,
-                           chunk, kv_quant=False)
-    del q8
-    detail["int8_weights"] = run_engine(engine8, prompts, gen_len, chunk)
-    progress("int8_weights", detail["int8_weights"])
-    del engine8
-    gc.collect()
-
-    # INT8-KV row (bf16 weights, quantized cache — Pallas kernel path).
-    params = fresh()
-    engine_kv = build_engine(cfg, params, bs, prompt_len, gen_len,
-                             page_size, chunk, kv_quant=True)
-    del params
-    gc.collect()
-    detail["int8_kv"] = run_engine(engine_kv, prompts, gen_len, chunk)
-    progress("int8_kv", detail["int8_kv"])
-    del engine_kv
-    gc.collect()
+    # Quantized rows, each fault-isolated (a failure in one must not drop
+    # the other): int8 weights quantize from a fresh tree with
+    # drop_originals (peak = bf16 + int8 transient on an empty chip);
+    # int8-KV uses bf16 weights with a quantized cache (Pallas kernel path).
+    for row, w_int8, kv_q in (
+        ("int8_weights", True, False),
+        ("int8_kv", False, True),
+    ):
+        try:
+            params = fresh()
+            if w_int8:
+                params = quantize_decoder_params(params, jnp.int8,
+                                                 drop_originals=True)
+            eng = build_engine(cfg, params, bs, prompt_len, gen_len,
+                               page_size, chunk, kv_quant=kv_q)
+            del params
+            gc.collect()
+            detail[row] = run_engine(eng, prompts, gen_len, chunk)
+            progress(row, detail[row])
+            del eng
+            gc.collect()
+        except Exception as e:
+            progress(f"{row}-failed", repr(e))
 
 
 if __name__ == "__main__":

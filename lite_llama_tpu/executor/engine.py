@@ -406,7 +406,9 @@ class InferenceEngine:
         if self._pages_by_group[best] < need:
             self._evict_for(best, need, protect=hit[0] if hit else None)
         if self._pages_by_group[best] < need:
-            return None  # eviction raced a refcount; treat as no capacity
+            return None  # defensive: ranking guarantees capacity, but a
+            # shortfall here must fail closed rather than oversubscribe
+            # (note: none of this host accounting is thread-safe)
         self._pages_by_group[best] -= total_pages - k
         slot = self._slots_by_group[best].pop(0)
         if hit:

@@ -224,35 +224,11 @@ class ShardingPolicy:
     def shard_cache(self, cache):
         if self.mesh is None:
             return cache
-        import dataclasses as _dc
-
-        pool = cache.kv_pages
-        new_pool = _dc.replace(
-            pool,
-            pages=jax.device_put(
-                pool.pages, self._cache_leaf_sharding(pool.pages)
+        scales = cache.kv_pages.scales  # identity-test the one special leaf
+        return jax.tree_util.tree_map(
+            lambda leaf: jax.device_put(
+                leaf,
+                self._cache_leaf_sharding(leaf, is_scales=leaf is scales),
             ),
-            scales=(
-                None if pool.scales is None else jax.device_put(
-                    pool.scales,
-                    self._cache_leaf_sharding(pool.scales, is_scales=True),
-                )
-            ),
-        )
-        rest = _dc.replace(
             cache,
-            kv_pages=new_pool,
-            page_table=jax.device_put(
-                cache.page_table, self._cache_leaf_sharding(cache.page_table)
-            ),
-            seq_lens=jax.device_put(
-                cache.seq_lens, self._cache_leaf_sharding(cache.seq_lens)
-            ),
-            free_stack=jax.device_put(
-                cache.free_stack, self._cache_leaf_sharding(cache.free_stack)
-            ),
-            free_top=jax.device_put(
-                cache.free_top, self._cache_leaf_sharding(cache.free_top)
-            ),
         )
-        return rest
