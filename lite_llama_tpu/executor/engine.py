@@ -241,15 +241,7 @@ class InferenceEngine:
             ),
             donate_argnums=(0,),
         )
-        self._prefill_chunk_jit = jax.jit(
-            self._dp_wrap(
-                self._prefill_chunk_step,
-                in_specs=(PS(), cs, PS("dp", None), PS("dp"), PS("dp"),
-                          PS("dp"), PS("dp", None)),
-                out_specs=(cs, PS("dp", None)),
-            ),
-            donate_argnums=(1, 6),
-        )
+        self._prefill_chunk_jits = {}  # static hist_bound -> jitted step
         self._free_jit = jax.jit(
             self._dp_wrap(
                 free_requests,
@@ -556,8 +548,35 @@ class InferenceEngine:
         lp = log_softmax_gather(last, tok)
         return cache, tok, last, lp
 
+    def _get_prefill_chunk_jit(self, hist_bound: int):
+        """Chunked-prefill step, compiled per static history bound (page-
+        rounded, pow2-bucketed by the caller so the compile count stays
+        O(log max_seq)). The bound keeps the XLA fallback's dense history
+        gather proportional to the ACTUAL pool history instead of the full
+        page-table span (ADVICE r2 medium: a 32k-max_seq quantized engine
+        used to materialize [B, Hq, S_chunk, 32k] scores per layer)."""
+        if hist_bound not in self._prefill_chunk_jits:
+            from jax.sharding import PartitionSpec as PS
+
+            cs = (
+                self.shard.dp_cache_specs(self.cache)
+                if self.dp > 1 else None
+            )
+            fn = partial(self._prefill_chunk_step, hist_bound=hist_bound)
+            wrapped = self._dp_wrap(
+                fn,
+                in_specs=(PS(), cs, PS("dp", None), PS("dp"), PS("dp"),
+                          PS("dp"), PS("dp", None)),
+                out_specs=(cs, PS("dp", None)),
+            )
+            self._prefill_chunk_jits[hist_bound] = jax.jit(
+                wrapped, donate_argnums=(1, 6)
+            )
+        return self._prefill_chunk_jits[hist_bound]
+
     def _prefill_chunk_step(
-        self, params, cache, ids_chunk, lens, req_ids, start, last_logits
+        self, params, cache, ids_chunk, lens, req_ids, start, last_logits,
+        hist_bound=None,
     ):
         """One bucketed chunk of a long (or prefix-cached) prompt: positions
         [start[b], start[b]+W) of every request (requests already fully
@@ -578,6 +597,7 @@ class InferenceEngine:
         logits, kv = self._fwd_prefill(
             params, cfg, cache.kv_pages, ctx, input_ids=ids_chunk,
             shard=self._mshard, chunked=True, last_only=True,
+            hist_bound=hist_bound,
         )
         cache = dataclasses.replace(cache, kv_pages=kv)
         ends_here = (lens > start) & (lens <= start + W)
@@ -787,8 +807,20 @@ class InferenceEngine:
                 (Bl, self.config.vocab_size), jnp.float32
             )
             cached_arr = jnp.asarray(cached)
+            ppr = self.cache.pages_per_req
+            ps = self.page_size
             for ci in range(n_chunks):
-                self.cache, last_logits = self._prefill_chunk_jit(
+                # Static history bound for this chunk: no request can have
+                # more pool history than max(cached) + ci*Wc (nor more than
+                # the longest prompt); page-round and pow2-bucket it so the
+                # fallback's dense gather scales with actual history while
+                # the compile count stays O(log max_seq).
+                hist_tok = min(int(cached.max()) + ci * Wc, int(lens.max()))
+                hb = (
+                    min(next_pow2(cdiv(hist_tok, ps)), ppr) * ps
+                    if hist_tok > 0 else 0
+                )
+                self.cache, last_logits = self._get_prefill_chunk_jit(hb)(
                     self.params,
                     self.cache,
                     jnp.asarray(ids[:, ci * Wc : (ci + 1) * Wc]),

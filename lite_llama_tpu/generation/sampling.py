@@ -67,14 +67,23 @@ def needs_exact_sampling(
 ) -> bool:
     """Host-side predicate: do these (numpy) sampling params require the
     exact full-sort path? The engine passes the answer as a STATIC mode so
-    the common decode graph contains no lax.cond and no [B, V] sort."""
+    the common decode graph contains no lax.cond and no [B, V] sort.
+
+    Exact when any request asks for (a) ``top_k > nucleus_k``, or (b) an
+    effectively untruncated distribution (``top_p >= 0.99`` with top_k
+    disabled) at ``temperature >= 1.0`` — there the caller asked for real
+    tail mass and rank-64 truncation would silently discard it (not just at
+    the old >=1.5 cliff; a plain temperature-1.0 top_p-1.0 request must
+    sample the full vocab, matching the reference's full-distribution
+    sampler)."""
     import numpy as np
 
+    t = np.asarray(temperature)
+    p = np.asarray(top_p)
+    k = np.asarray(top_k)
     return bool(
-        np.any(np.asarray(top_k) > nucleus_k)
-        | np.any(
-            (np.asarray(temperature) >= 1.5) & (np.asarray(top_p) >= 0.99)
-        )
+        np.any(k > nucleus_k)
+        | np.any((t >= 1.0) & (p >= 0.99) & (k == 0))
     )
 
 
@@ -95,10 +104,11 @@ def sample(
     beyond rank-64 tokens is a negligible distribution change for real
     temperatures (p(rank>64) ~ tail mass past top-p anyway).
 
-    Exactness fallback: when any request asks for ``top_k > nucleus_k`` or a
-    near-untruncated distribution at high temperature (``temperature >= 1.5``
-    with ``top_p >= 0.99``, where rank-64 truncation visibly reshapes the
-    tail), the whole batch falls back to the exact full-sort path
+    Exactness fallback: when any request asks for ``top_k > nucleus_k`` or an
+    effectively untruncated distribution (``top_p >= 0.99`` with top_k
+    disabled) at ``temperature >= 1.0`` — where rank-64 truncation would
+    silently discard real tail mass — the whole batch falls back to the
+    exact full-sort path
     (tests/test_sampling_dist.py checks both regimes). ``mode`` selects it:
     "auto" decides with an in-graph lax.cond (works for fully traced
     callers); the engine instead inspects its host-side params
@@ -138,7 +148,11 @@ def sample(
     else:
         needs_exact = jnp.any(
             (params.top_k > nucleus_k)
-            | ((params.temperature >= 1.5) & (params.top_p >= 0.99))
+            | (
+                (params.temperature >= 1.0)
+                & (params.top_p >= 0.99)
+                & (params.top_k == 0)
+            )
         )
         sampled = jax.lax.cond(
             needs_exact, exact_path, approx_path, scaled, key

@@ -38,7 +38,7 @@ from .. import ops
 from ..executor.kv_cache import kv_write_decode_all, kv_write_prefill
 from ..parallel.shardings import ShardingPolicy
 from ..quant.qtensor import qeinsum
-from .rotary import compute_inv_freq
+from .rotary import compute_inv_freq_dual
 
 _NOSHARD = ShardingPolicy(mesh=None)
 
@@ -229,8 +229,20 @@ def _unembed(params, cfg, normed):
     )
 
 
-def _rope_tables(cfg, positions):
-    inv_freq, att_scale = compute_inv_freq(cfg)
+def _rope_tables(cfg, positions, seq_lens=None):
+    """cos/sin for the step's positions. For dynamic-NTK checkpoints the
+    table is selected PER REQUEST by live sequence length (requests at or
+    below ``max_position_embeddings`` use the original-base frequencies,
+    matching HF's lazy rescale — models/rotary.py compute_inv_freq_dual);
+    all other rope types use the single static table."""
+    inv_freq, short, threshold, att_scale = compute_inv_freq_dual(cfg)
+    if short is not None and seq_lens is not None:
+        long_t = jnp.asarray(inv_freq)  # [D/2]
+        short_t = jnp.asarray(short)
+        per_req = jnp.where(
+            (seq_lens > threshold)[:, None], long_t[None], short_t[None]
+        )  # [B, D/2]
+        return ops.rope_cos_sin(positions, per_req, att_scale)
     return ops.rope_cos_sin(positions, jnp.asarray(inv_freq), att_scale)
 
 
@@ -249,6 +261,7 @@ def decoder_prefill(
     shard: ShardingPolicy = _NOSHARD,
     chunked: bool = False,
     last_only: bool = False,
+    hist_bound: int | None = None,
 ):
     """Returns (logits, kv_pages).
 
@@ -270,7 +283,7 @@ def decoder_prefill(
     B, S, H = h.shape
     if positions is None:
         positions = ctx.start_pos[:, None] + jnp.arange(S, dtype=jnp.int32)
-    cos, sin = _rope_tables(cfg, positions)
+    cos, sin = _rope_tables(cfg, positions, ctx.seq_lens)
     sm_scale = 1.0 / (cfg.head_dim**0.5)
 
     def layer_fn(carry, xs):
@@ -289,7 +302,7 @@ def decoder_prefill(
         if chunked:
             attn = ops.chunked_prefill_attention(
                 q, k, v, ctx.chunk_lens, ctx.start_pos, kv_pages, li,
-                ctx.table_rows, sm_scale,
+                ctx.table_rows, sm_scale, max_hist_len=hist_bound,
             )
         else:
             attn = ops.prefill_attention(q, k, v, ctx.chunk_lens, sm_scale)
@@ -333,7 +346,7 @@ def decoder_decode(
     """
     h = params["embed"][input_ids]  # [B, H]
     B, H = h.shape
-    cos, sin = _rope_tables(cfg, ctx.start_pos)  # [B, D/2]
+    cos, sin = _rope_tables(cfg, ctx.start_pos, ctx.seq_lens)  # [B, D/2]
     sm_scale = 1.0 / (cfg.head_dim**0.5)
     max_seq = ctx.table_rows.shape[1] * kv_pages.page_size
 

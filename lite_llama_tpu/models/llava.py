@@ -137,6 +137,7 @@ def llava_prefill(
     shard=None,
     chunked: bool = False,
     last_only: bool = False,
+    hist_bound=None,
 ):
     """Multimodal prefill: encode -> merge -> LM prefill with inputs_embeds.
 
@@ -163,5 +164,5 @@ def llava_prefill(
     return decoder_prefill(
         params["lm"], cfg, kv_pages, ctx,
         inputs_embeds=embeds, positions=positions, shard=shard,
-        chunked=chunked, last_only=last_only,
+        chunked=chunked, last_only=last_only, hist_bound=hist_bound,
     )

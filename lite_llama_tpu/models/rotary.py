@@ -111,11 +111,19 @@ def _rope_yarn(base, head_dim, scaling, config):
 
 def _rope_dynamic(base, head_dim, scaling, config):
     """Dynamic NTK scaling (HF ``_compute_dynamic_ntk_parameters``; reference
-    re-init hook RotaryEmbedding.py:173-180). HF recomputes the base as the
-    live sequence grows; this engine's frequencies are static per build, so
-    the target length is the engine's ``max_seq_len`` — the longest sequence
-    this instance will ever see — clamped below by
-    ``max_position_embeddings`` (where the formula is the identity)."""
+    re-init hook RotaryEmbedding.py:173-180). HF keeps the ORIGINAL base
+    until the live sequence exceeds ``max_position_embeddings`` and then
+    recomputes for the observed length. Frequencies here are static per
+    build, so this returns the base NTK-scaled for the engine's
+    ``max_seq_len`` (the longest sequence this instance will ever see); the
+    forward selects PER REQUEST between this long table and the unscaled
+    short table from :func:`compute_inv_freq_dual` at the
+    ``max_position_embeddings`` threshold — matching HF exactly at both ends.
+    Remaining divergence (documented, accepted): for live lengths strictly
+    between ``max_position_embeddings`` and ``max_seq_len`` HF scales for the
+    current length while this engine already uses the max_seq_len-scaled
+    table (slightly more conservative extrapolation, monotone in the same
+    direction)."""
     factor = scaling.get("factor", 1.0)
     mpe = config.max_position_embeddings
     seq_len = max(getattr(config, "max_seq_len", mpe), mpe)
@@ -147,6 +155,30 @@ def _rope_longrope(base, head_dim, scaling, config):
     ext = long_factor if seq_len > orig else short_factor
     exps = np.arange(0, head_dim, 2, dtype=np.float64) / head_dim
     return 1.0 / (ext * base**exps), att
+
+
+def compute_inv_freq_dual(config):
+    """(inv_freq, short_inv_freq_or_None, select_threshold, att_scale).
+
+    For ``rope_type == 'dynamic'`` the second table holds the UNSCALED
+    original-base frequencies and ``select_threshold`` is
+    ``max_position_embeddings``: requests whose live sequence length is <=
+    the threshold must use the short table (HF keeps the original base until
+    the sequence exceeds the pretrained context — ADVICE r2: baking the
+    scaled base for every request degraded short-prompt logits vs HF). For
+    every other rope type the short table is None and callers use the single
+    static table."""
+    inv_freq, att_scale = compute_inv_freq(config)
+    scaling = config.rope_scaling or {}
+    rope_type = scaling.get("rope_type", scaling.get("type", "default"))
+    if rope_type != "dynamic":
+        return inv_freq, None, 0, att_scale
+    short = _default_inv_freq(config.rope_theta, config.head_dim).astype(
+        np.float32
+    )
+    if np.allclose(short, inv_freq):  # max_seq_len <= mpe: formula is identity
+        return inv_freq, None, 0, att_scale
+    return inv_freq, short, config.max_position_embeddings, att_scale
 
 
 _ROPE_INIT = {

@@ -64,11 +64,20 @@ def prefill_attention(q, k, v, seq_lens, sm_scale=None):
 
 
 def chunked_prefill_attention(
-    q, k, v, chunk_lens, start_pos, kv_pool, layer, page_table, sm_scale=None
+    q, k, v, chunk_lens, start_pos, kv_pool, layer, page_table, sm_scale=None,
+    max_hist_len=None,
 ):
     """Chunk queries attend pool history [0, start_pos) + causal chunk
     prefix. Pallas streams history pages from the pool; quantized or
-    dtype-mismatched pools fall back to the XLA dense-gather reference."""
+    dtype-mismatched pools fall back to the XLA dense-gather reference.
+
+    ``max_hist_len`` (static) bounds the history span the FALLBACK gathers:
+    without it the dense path materializes scores over the full page-table
+    span (pages_per_req * page_size = max_seq_len) per layer per chunk — an
+    OOM/latency cliff for quantized pools with long max_seq (ADVICE r2
+    medium). The engine threads a page-rounded bound from its host-side
+    chunk bookkeeping. The Pallas kernel ignores it (its per-request page
+    walk is already bounded by the traced start_pos)."""
     if (
         _use_pallas()
         and not kv_pool.quantized
@@ -83,7 +92,8 @@ def chunked_prefill_attention(
             sm_scale,
         )
     return ref.chunked_prefill_attention(
-        q, k, v, chunk_lens, start_pos, kv_pool, layer, page_table, sm_scale
+        q, k, v, chunk_lens, start_pos, kv_pool, layer, page_table, sm_scale,
+        max_hist_len=max_hist_len,
     )
 
 

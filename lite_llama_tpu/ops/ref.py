@@ -66,9 +66,15 @@ def rope_cos_sin(
 ):
     """cos/sin tables for given integer positions.
 
-    positions: int32 [...]; inv_freq: fp32 [head_dim//2].
+    positions: int32 [...]; inv_freq: fp32 [head_dim//2], or per-request
+    [B, head_dim//2] (dynamic-NTK per-request table selection — broadcasts
+    over positions' trailing axes, requiring positions.shape[0] == B).
     Returns fp32 (cos, sin) with shape positions.shape + [head_dim//2].
     """
+    if inv_freq.ndim == 2:
+        inv_freq = inv_freq.reshape(
+            inv_freq.shape[0], *([1] * (positions.ndim - 1)), -1
+        )
     freqs = positions.astype(jnp.float32)[..., None] * inv_freq
     return (
         jnp.cos(freqs) * attention_scaling,

@@ -191,3 +191,57 @@ def test_engine_long_prompt_matches_single_shot():
                                          temperature=0.0)
         ]
     assert outs[2048] == outs[16], outs
+
+
+@pytest.mark.quick
+def test_engine_long_prompt_quantized_pool_bounded_fallback():
+    """ADVICE r2 medium: a quantized pool routes chunked prefill through the
+    XLA fallback — which must (a) receive a page-rounded history bound far
+    below pages_per_req * page_size, and (b) still match the single-shot
+    quantized path token for token."""
+    from unittest import mock
+
+    from lite_llama_tpu.config import LlamaConfig
+    from lite_llama_tpu.executor.engine import InferenceEngine
+    from lite_llama_tpu.generation.generate import TextGenerator
+    from lite_llama_tpu.models.decoder import init_decoder_params
+    from lite_llama_tpu.ops import ref as ops_ref
+
+    cfg = LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=151,
+        max_seq_len=512, dtype=jnp.float32,
+    )
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(0, 151, size=45).tolist(),
+               rng.integers(0, 151, size=23).tolist()]
+    seen_bounds = []
+    orig = ops_ref.chunked_prefill_attention
+
+    def spy(*a, **kw):
+        seen_bounds.append(kw.get("max_hist_len"))
+        return orig(*a, **kw)
+
+    outs = {}
+    for chunk in (2048, 16):
+        with mock.patch.object(
+            ops_ref, "chunked_prefill_attention", side_effect=spy
+        ):
+            eng = InferenceEngine(
+                cfg, params, page_size=8, max_reqs=2, num_pages=128,
+                prefill_chunk=chunk, decode_chunk=4, kv_quant="int8",
+            )
+            gen = TextGenerator(eng)
+            outs[chunk] = [
+                o.token_ids
+                for o in gen.generate_tokens(prompts, max_gen_len=8,
+                                             temperature=0.0)
+            ]
+    assert outs[2048] == outs[16], outs
+    # The chunked path ran and every fallback call got a TIGHT bound:
+    # max_seq_len=512 would be 64 pages; the 45-token prompt in 16-token
+    # chunks needs at most 64 tokens of history (pow2-bucketed pages).
+    bounds = [b for b in seen_bounds if b is not None]
+    assert bounds, "chunked fallback never saw a history bound"
+    assert max(bounds) <= 64, bounds

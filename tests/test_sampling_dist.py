@@ -90,6 +90,28 @@ def test_approx_path_close_to_exact_for_typical_settings():
 
 
 @pytest.mark.quick
+def test_untruncated_request_at_temperature_one_is_exact():
+    """ADVICE r2: temperature=1.0 / top_p=1.0 / top_k=0 asks for the FULL
+    distribution — it must ride the exact path (the old >=1.5 cliff silently
+    sampled only the top-64 candidates for it)."""
+    from lite_llama_tpu.generation.sampling import needs_exact_sampling
+
+    assert needs_exact_sampling(1.0, 1.0, 0)
+    assert needs_exact_sampling([0.6, 1.0], [0.9, 1.0], [0, 0])
+    # Truncated requests stay on the fast path.
+    assert not needs_exact_sampling(1.0, 0.9, 0)
+    assert not needs_exact_sampling(0.6, 1.0, 0)  # sub-1.0 temp: legacy approx
+    assert not needs_exact_sampling(2.0, 1.0, 40)  # top_k truncates anyway
+    # In-graph auto mode agrees: uniform logits at temp 1.0 cover the vocab.
+    V = 512
+    logits = jnp.zeros((1, V), jnp.float32)
+    params = SamplingParams.make(1, temperature=1.0, top_p=1.0, top_k=0)
+    draws = _draw(logits, params, 2000)
+    distinct = len(set(draws.reshape(-1).tolist()))
+    assert distinct > 4 * NUCLEUS_K, distinct
+
+
+@pytest.mark.quick
 def test_exact_masks_agree_with_definitions():
     V = 64
     rng = np.random.default_rng(2)
