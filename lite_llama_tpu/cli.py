@@ -155,6 +155,9 @@ def cmd_llava(args):
         if user.startswith("/image "):
             image = user[len("/image "):].strip()
             print(f"[image attached: {image}]")
+            from .utils.image import vis_images
+
+            vis_images([image])  # echo it inline (reference vis_images)
             continue
         prompt = prompter.insert_prompt(user, with_image=image is not None)
         sys.stdout.write("assistant> ")

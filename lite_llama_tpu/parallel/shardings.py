@@ -81,6 +81,16 @@ class ShardingPolicy:
                 lambda _: None, params,
                 is_leaf=lambda x: not isinstance(x, dict),
             )
+        if "lm" in params and "layers" not in params:
+            # Multimodal (LLaVA) tree: decoder specs for the LM; the vision
+            # tower + projector REPLICATE across the mesh (a ~0.3B CLIP is
+            # small next to the LM, and the image path runs once per request
+            # — head-sharding it buys nothing in the decode loop).
+            rep = jax.tree_util.tree_map(lambda _: self._ns(), {
+                k: v for k, v in params.items() if k != "lm"
+            })
+            rep["lm"] = self.param_specs(cfg, params["lm"])
+            return rep
         layer_specs = {
             "attn_norm": self._ns(None, None),
             "wq": self._ns(None, None, "tp", None),  # [L, H, Nq, D]
@@ -116,11 +126,17 @@ class ShardingPolicy:
         def pick(name, leaf):
             if _is_qtensor(leaf):
                 if name in unfusable_quantized:
-                    raise ValueError(
-                        f"quantized '{name}' cannot be tensor-parallel "
-                        "sharded (a contiguous shard of its flat output "
-                        "axis crosses the K|V boundary) — fuse QKV first "
-                        "(models/decoder.py fuse_qkv_params)"
+                    if self.tp > 1:
+                        raise ValueError(
+                            f"quantized '{name}' cannot be tensor-parallel "
+                            "sharded (a contiguous shard of its flat output "
+                            "axis crosses the K|V boundary) — fuse QKV first "
+                            "(models/decoder.py fuse_qkv_params)"
+                        )
+                    # tp=1 (dp-only mesh): replicate — no head shard exists.
+                    return (
+                        self._ns(None, None, None),
+                        self._ns(None, None),
                     )
                 return qtensor_specs[name]
             return layer_specs[name]

@@ -66,3 +66,48 @@ def process_images(
     return np.stack(
         [preprocess_image(load_image(s), image_size, pad_square) for s in sources]
     )
+
+
+def render_image_ansi(source, max_width: int = 48) -> str:
+    """Render an image as ANSI truecolor half-block text (two pixels per
+    character cell via the upper-half-block glyph). Dependency-light stand-in
+    for a terminal image protocol; degrades to a plain label on non-color
+    terminals."""
+    img = load_image(source)
+    w, h = img.size
+    new_w = min(max_width, w)
+    new_h = max(2, int(h * new_w / max(w, 1) * 0.5) * 2)  # cell aspect ~2:1
+    small = np.asarray(img.resize((new_w, new_h)), np.uint8)
+    lines = []
+    for y in range(0, new_h - 1, 2):
+        row = []
+        for x in range(new_w):
+            tr, tg, tb = small[y, x][:3]
+            br, bg, bb = small[y + 1, x][:3]
+            row.append(
+                f"\x1b[38;2;{tr};{tg};{tb}m\x1b[48;2;{br};{bg};{bb}m▀"
+            )
+        lines.append("".join(row) + "\x1b[0m")
+    return "\n".join(lines)
+
+
+def vis_images(image_files: Sequence[str], max_width: int = 48) -> None:
+    """Print images inline in the terminal (capability parity with the
+    reference's ``vis_images``, utils/image_process.py:45-73, which shells
+    out to term_image; here a self-contained ANSI half-block renderer so the
+    LLaVA REPL can echo the image it was asked about)."""
+    import sys
+
+    for path in image_files:
+        label = path if isinstance(path, str) else "<image>"
+        if isinstance(label, str) and label.startswith("data:image"):
+            label = "<base64 image>"
+        print(f"--- {label} ---")
+        try:
+            if sys.stdout.isatty() or os.environ.get("FORCE_COLOR"):
+                print(render_image_ansi(path, max_width))
+            else:
+                img = load_image(path)
+                print(f"[image {img.size[0]}x{img.size[1]}]")
+        except Exception as e:  # pragma: no cover - terminal-specific
+            print(f"[image display failed: {e}]")

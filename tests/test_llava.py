@@ -124,3 +124,23 @@ def test_merge_without_image_is_plain_embedding(models):
     want = np.asarray(params["lm"]["embed"])[np.asarray(ids[0, :3])]
     np.testing.assert_allclose(np.asarray(out[0, :3]), want)
     assert float(jnp.sum(jnp.abs(out[0, 3:]))) == 0.0
+
+
+@pytest.mark.quick
+def test_vis_images_terminal_render(tmp_path, capsys):
+    """Terminal image echo (reference utils/image_process.py:45-73 parity):
+    ANSI half-block rendering plus the non-tty fallback label."""
+    import os
+
+    from PIL import Image
+
+    from lite_llama_tpu.utils.image import render_image_ansi, vis_images
+
+    p = tmp_path / "img.png"
+    Image.new("RGB", (16, 8), (255, 0, 0)).save(p)
+    txt = render_image_ansi(str(p), max_width=8)
+    assert "\x1b[38;2;" in txt and "▀" in txt
+    assert len(txt.splitlines()) >= 1
+    vis_images([str(p)])  # non-tty in pytest -> size label path
+    out = capsys.readouterr().out
+    assert "img.png" in out and ("[image 16x8]" in out or "▀" in out)

@@ -65,6 +65,63 @@ def test_expanded_lens(engine):
     assert engine.expanded_lens([[5, 9]]) == [2]
 
 
+def _mm_tokens(engine, px, prompts):
+    gen = LlavaTextGenerator(engine)
+    collected = [[] for _ in prompts]
+    for new in gen.stream_tokens_multimodal(prompts, px, max_gen_len=8,
+                                            temperature=0.0):
+        for i, ids in enumerate(new):
+            collected[i].extend(ids)
+    return collected
+
+
+def test_llava_tp_mesh_parity(engine):
+    """VERDICT r2 next #8: tp=2 mesh multimodal generation must match the
+    single-device engine token for token (LM sharded, vision replicated)."""
+    from lite_llama_tpu.parallel.shardings import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 virtual devices")
+    cfg = engine.config
+    params = init_llava_params(cfg, jax.random.PRNGKey(0))
+    px = np.random.default_rng(0).normal(size=(2, 3, 28, 28)).astype(np.float32)
+    prompts = [[5, IMG_TOK, 9, 17], [3, IMG_TOK, 4]]
+    want = _mm_tokens(engine, px, prompts)
+    mesh = make_mesh(tp=2, dp=1, devices=jax.devices()[:2])
+    sharded = LlavaEngine(cfg, params, page_size=8, max_reqs=4,
+                          num_pages=48, decode_chunk=4, mesh=mesh)
+    # the LM actually shards; the vision tower replicates
+    wqkv = sharded.params["lm"]["layers"]["wqkv"]
+    assert wqkv.addressable_shards[0].data.shape[2] == wqkv.shape[2] // 2
+    got = _mm_tokens(sharded, px, prompts)
+    assert got == want
+
+
+def test_llava_dp_refused():
+    """A dp mesh must be refused loudly (the mm prefill has no dp group
+    layout — silent request misplacement otherwise)."""
+    from lite_llama_tpu.parallel.shardings import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 virtual devices")
+    cfg = LlavaConfig(
+        vision_config=dict(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, image_size=28, patch_size=14,
+        ),
+        text_config=dict(
+            hidden_size=48, intermediate_size=96, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, vocab_size=128,
+        ),
+        image_token_index=IMG_TOK, max_seq_len=64, dtype=jnp.float32,
+    )
+    params = init_llava_params(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(tp=1, dp=2, devices=jax.devices()[:2])
+    with pytest.raises(NotImplementedError, match="data parallelism"):
+        LlavaEngine(cfg, params, page_size=8, max_reqs=4, num_pages=48,
+                    mesh=mesh)
+
+
 def test_prompt_templates():
     from lite_llama_tpu.utils.prompts import get_prompter, get_stop_token_ids
 
