@@ -49,6 +49,73 @@ def test_qeinsum_matches_dequant(qdtype):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_int4_pack_unpack_roundtrip():
+    """Packed-int4 storage: two signed nibbles per int8 byte along O, with
+    unpack() the exact bitcast inverse (VERDICT r2 next #3 — int4 weights
+    halve int8's HBM traffic; storage stays int8 to dodge the TPU-plugin
+    RecursionError on s4 jit args)."""
+    w = jax.random.normal(jax.random.PRNGKey(0), (32, 4, 16), jnp.float32)
+    qt = quantize(w, (0,), jnp.int4)
+    assert qt.packed and qt.q.dtype == jnp.int8
+    assert qt.q.shape == (32, 32)  # [C, O//2] packed bytes
+    u = qt.unpack()
+    assert u.shape == (32, 64) and u.dtype == jnp.int4
+    vals = np.asarray(u.astype(jnp.int8))
+    assert vals.min() >= -7 and vals.max() <= 7
+    # unpack . pack is the identity on the quantized grid: requantizing the
+    # dequantized weight reproduces the same packed bytes
+    qt2 = quantize(qt.dequant(jnp.float32), (0,), jnp.int4)
+    np.testing.assert_array_equal(np.asarray(qt2.q), np.asarray(qt.q))
+
+
+@pytest.mark.parametrize("group_size", [None, 8], ids=["perchan", "g8"])
+@pytest.mark.parametrize("qdtype", [jnp.int4, jnp.int8], ids=["int4", "int8"])
+def test_qeinsum_matches_dequant_int4_grouped(qdtype, group_size):
+    """qeinsum == einsum-on-dequantized for packed int4 and for C-grouped
+    scales (grouped scales are int4's accuracy recovery: per-channel int4
+    over a deep contraction is lossy on a 16-level grid)."""
+    w = jax.random.normal(jax.random.PRNGKey(0), (32, 4, 16), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (5, 32), jnp.float32)
+    qt = quantize(w, (0,), qdtype, group_size=group_size)
+    if group_size is not None:
+        assert qt.scale.shape == (32 // group_size, 64)
+    got = qeinsum("bh,hnd->bnd", x, qt)
+    want = jnp.einsum("bh,hnd->bnd", x, qt.dequant(jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_int4_stacked_scan_slice():
+    """Layer-stacked int4 QTensor sliced per-layer (the decoder's lax.scan
+    access pattern) keeps packed storage + grouped scales consistent."""
+    ws = jax.random.normal(jax.random.PRNGKey(2), (3, 32, 4, 16), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (5, 32), jnp.float32)
+    qt = quantize(ws, (1,), jnp.int4, group_size=16)
+    assert qt.q.shape == (3, 32, 32) and qt.scale.shape == (3, 2, 64)
+    sl = jax.tree_util.tree_map(lambda a: a[1], qt)
+    got = qeinsum("bh,hnd->bnd", x, sl)
+    want = jnp.einsum("bh,hnd->bnd", x, sl.dequant(jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    one = quantize(ws[1], (0,), jnp.int4, group_size=16)
+    np.testing.assert_array_equal(np.asarray(one.q), np.asarray(sl.q))
+
+
+def test_int4_grouped_recovers_accuracy():
+    """The point of grouped scales: per-group amax tracks outliers, so g=32
+    int4 must beat per-channel int4 on reconstruction error for a weight
+    with per-row outliers."""
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(256, 64)).astype(np.float32)
+    w[rng.integers(0, 256, 8), :] *= 20.0  # contraction-dim outlier rows
+    w = jnp.asarray(w)
+    err_pc = float(jnp.mean(jnp.abs(
+        quantize(w, (0,), jnp.int4).dequant(jnp.float32) - w)))
+    err_g = float(jnp.mean(jnp.abs(
+        quantize(w, (0,), jnp.int4, group_size=32).dequant(jnp.float32) - w)))
+    assert err_g < err_pc * 0.5, (err_g, err_pc)
+
+
 def test_quantize_roundtrip_error_small():
     w = jax.random.normal(jax.random.PRNGKey(0), (64, 64), jnp.float32) * 0.05
     qt = quantize(w, (0,), jnp.int8)
@@ -57,15 +124,18 @@ def test_quantize_roundtrip_error_small():
     assert float(jnp.max(err / jnp.max(jnp.abs(w), 0, keepdims=True))) < 0.01
 
 
-@pytest.mark.parametrize("qdtype", [jnp.int8, jnp.float8_e4m3fn],
-                         ids=["int8", "fp8"])
-def test_quantized_decoder_logits_close(qdtype):
+@pytest.mark.parametrize(
+    "qdtype,group_size",
+    [(jnp.int8, None), (jnp.float8_e4m3fn, None), (jnp.int4, 16)],
+    ids=["int8", "fp8", "int4-g16"],
+)
+def test_quantized_decoder_logits_close(qdtype, group_size):
     from lite_llama_tpu.executor.kv_cache import alloc_prefill, create_kv_cache
     from lite_llama_tpu.models.decoder import AttnContext, decoder_prefill
 
     cfg = LlamaConfig(**CFG)
     params = init_decoder_params(cfg, jax.random.PRNGKey(0))
-    qparams = quantize_decoder_params(params, qdtype)
+    qparams = quantize_decoder_params(params, qdtype, group_size=group_size)
     # Tree structure sanity: projections are QTensors
     assert isinstance(qparams["layers"]["wq"], QTensor)
     assert qparams["layers"]["attn_norm"] is params["layers"]["attn_norm"]
@@ -101,10 +171,14 @@ def test_quantized_decoder_logits_close(qdtype):
     assert tv < 0.05, f"total variation {tv}"
 
 
-def test_quantized_generation_end_to_end():
+@pytest.mark.parametrize(
+    "qdtype,group_size", [(jnp.int8, None), (jnp.int4, 32)],
+    ids=["int8", "int4-g32"],
+)
+def test_quantized_generation_end_to_end(qdtype, group_size):
     cfg = LlamaConfig(**CFG, eos_token_id=96)
     params = init_decoder_params(cfg, jax.random.PRNGKey(0))
-    qparams = quantize_decoder_params(params, jnp.int8)
+    qparams = quantize_decoder_params(params, qdtype, group_size=group_size)
     engine = InferenceEngine(cfg, qparams, page_size=8, max_reqs=4,
                              num_pages=32, decode_chunk=4)
     gen = TextGenerator(engine)
