@@ -122,6 +122,162 @@ def _sample_top_p_device(logits, key, temperature: float, top_p: float):
     )
 
 
+def _dense_scan_step(params, cfg, kv, tok, pos, key, temperature, top_p):
+    """One decode step of the COMPETENT dense-KV port (see
+    dense_scan_decode_tps): layers under lax.scan, KV written in place via
+    dynamic_update_slice on the donated carry, grouped-query attention over
+    the full masked window, on-device approx sampling."""
+    from lite_llama_tpu.generation.sampling import SamplingParams, sample
+
+    B = tok.shape[0]
+    L = cfg.num_hidden_layers
+    S = kv.shape[3]
+    Hkv, D = cfg.num_key_value_heads, cfg.head_dim
+    G = cfg.num_attention_heads // Hkv
+    inv_freq, att_scale = compute_inv_freq(cfg)
+    positions = jnp.full((B,), pos, jnp.int32)
+    cos, sin = ops_ref.rope_cos_sin(positions, jnp.asarray(inv_freq), att_scale)
+    sm_scale = 1.0 / (D**0.5)
+    h = params["embed"][tok]
+
+    def layer_fn(carry, xs):
+        h, residual, kv = carry
+        lp, li = xs
+        normed, residual = ops_ref.skip_rms_norm(
+            h, residual, lp["attn_norm"], cfg.rms_norm_eps
+        )
+        q = jnp.einsum("bh,hnd->bnd", normed, lp["wq"])
+        kvp = jnp.einsum("bh,hcnd->bcnd", normed, lp["wkv"])
+        if "q_bias" in lp:
+            q = q + lp["q_bias"]
+            kvp = kvp + lp["kv_bias"]
+        k, v = kvp[:, 0], kvp[:, 1]
+        if "q_norm" in lp:
+            q = ops_ref.rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+            k = ops_ref.rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+        q = ops_ref.apply_rope(q, cos, sin)
+        k = ops_ref.apply_rope(k, cos, sin)
+        # Write-before-read, in place on the donated scan carry.
+        new = jnp.stack([k, v], axis=0).astype(kv.dtype)  # [2, B, Hkv, D]
+        kv = jax.lax.dynamic_update_slice(
+            kv, new[None, :, :, None], (li, 0, 0, pos, 0, 0)
+        )
+        kv_l = jax.lax.dynamic_index_in_dim(kv, li, 0, keepdims=False)
+        qg = q.reshape(B, Hkv, G, D)
+        s = jnp.einsum(
+            "bhgd,bshd->bhgs", qg, kv_l[0], preferred_element_type=jnp.float32
+        ) * sm_scale
+        mask = jnp.arange(S)[None, :] <= pos
+        s = jnp.where(mask[:, None, None, :], s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1)
+        attn = jnp.einsum(
+            "bhgs,bshd->bhgd", p.astype(q.dtype), kv_l[1],
+            preferred_element_type=jnp.float32,
+        ).reshape(B, Hkv * G, D).astype(q.dtype)
+        attn_out = jnp.einsum("bnd,ndh->bh", attn, lp["o_proj"])
+        normed2, residual = ops_ref.skip_rms_norm(
+            attn_out, residual, lp["mlp_norm"], cfg.rms_norm_eps
+        )
+        gu = jnp.einsum("bh,chi->bci", normed2, lp["gate_up_proj"])
+        act = ops_ref.swiglu(gu[:, 0], gu[:, 1])
+        h = jnp.einsum("bi,ih->bh", act, lp["down_proj"])
+        return (h, residual, kv), None
+
+    xs = (params["layers"], jnp.arange(L, dtype=jnp.int32))
+    (h, residual, kv), _ = jax.lax.scan(
+        layer_fn, (h, jnp.zeros_like(h), kv), xs
+    )
+    normed, _ = ops_ref.skip_rms_norm(
+        h, residual, params["final_norm"], cfg.rms_norm_eps
+    )
+    if "lm_head" in params:
+        logits = jnp.einsum("bh,hv->bv", normed, params["lm_head"],
+                            preferred_element_type=jnp.float32)
+    else:
+        logits = jnp.dot(normed, params["embed"].T,
+                         preferred_element_type=jnp.float32)
+    sp = SamplingParams.make(B, temperature=temperature, top_p=top_p)
+    return sample(logits, key, sp, mode="approx"), kv
+
+
+def dense_scan_decode_tps(
+    cfg, params, bs: int, prompt_len: int, measure_steps: int = 192,
+    warmup_steps: int = 64, chunk: int = 64, temperature: float = 0.6,
+    top_p: float = 0.9, max_seq: int | None = None, seed: int = 0,
+) -> dict:
+    """The COMPETENT middle baseline (VERDICT r2 next #5): what a good JAX
+    port without paging or custom kernels looks like — dense per-request KV
+    ``[L, 2, B, max_seq, Hkv, D]`` with full-window masked attention, but
+    decode steps under an on-device ``lax.scan`` (host syncs once per
+    ``chunk`` steps), the cache DONATED so updates stay in place, layers
+    scanned, sampling on-device via the same approx path the engine uses.
+
+    What it is still missing vs the engine — and therefore what
+    ``vs_dense_scan`` isolates: paged ragged attention (full-window reads S
+    rows per request regardless of live length), the Pallas decode kernel,
+    and pool sharing across requests. Unlike ``vs_naive`` (which also
+    carries per-token dispatch + host-sync + no-donation costs — tunnel-
+    dominated in this environment), this ratio is an architecture-to-
+    architecture comparison on identical dispatch terms."""
+    if max_seq is None:
+        max_seq = 2048
+    rng = np.random.default_rng(seed)
+    B = bs
+    Hkv, D, L = cfg.num_key_value_heads, cfg.head_dim, cfg.num_hidden_layers
+    kv = jnp.zeros((L, 2, B, max_seq, Hkv, D), cfg.dtype)
+
+    def run_chunk(params, kv, tok, pos0, keys):
+        def body(carry, xs):
+            kv, tok = carry
+            key, i = xs
+            tok, kv = _dense_scan_step(
+                params, cfg, kv, tok, pos0 + i, key, temperature, top_p
+            )
+            return (kv, tok), tok
+
+        (kv, tok), toks = jax.lax.scan(
+            body, (kv, tok), (keys, jnp.arange(keys.shape[0]))
+        )
+        return kv, tok, toks
+
+    step = jax.jit(run_chunk, donate_argnums=(1,))
+    tok = jnp.asarray(rng.integers(0, cfg.vocab_size, size=B), jnp.int32)
+    key = jax.random.PRNGKey(seed)
+    pos = prompt_len  # pretend the prompt is in place; decode from here
+
+    def drive(n_steps, pos):
+        nonlocal kv, tok, key
+        done = 0
+        while done < n_steps:
+            n = min(chunk, n_steps - done)
+            if n < chunk:  # single compiled shape: pad the tail chunk
+                n = chunk
+            key, k = jax.random.split(key)
+            kv, tok, toks = step(params, kv, tok, pos, jax.random.split(k, n))
+            done += n
+            pos += n
+        jax.block_until_ready(tok)
+        return pos
+
+    pos = drive(warmup_steps, pos)
+    t0 = time.perf_counter()
+    end = drive(measure_steps, pos)
+    dt = time.perf_counter() - t0
+    steps = end - pos
+    return {
+        "tokens_per_s": B * steps / dt,
+        "ms_per_step": 1000.0 * dt / steps,
+        "measure_steps": steps,
+        "max_seq": max_seq,
+        "note": (
+            "competent dense-KV port: on-device scanned decode chunks, "
+            "donated in-place cache, layer scan, device sampling — no "
+            "paging, no Pallas, full-window attention (the honest "
+            "architecture-vs-architecture middle baseline)"
+        ),
+    }
+
+
 def naive_decode_tps(
     cfg, params, bs: int, prompt_len: int, measure_steps: int = 96,
     warmup_steps: int = 8, temperature: float = 0.6, top_p: float = 0.9,

@@ -74,3 +74,56 @@ def test_naive_forward_matches_engine_decoder():
     np.testing.assert_allclose(
         np.asarray(logits_n2), np.asarray(logits_d), rtol=2e-4, atol=2e-4
     )
+
+
+@pytest.mark.quick
+def test_dense_scan_step_matches_naive_forward():
+    """The competent dense-scan baseline (vs_dense_scan in bench.py) must
+    compute the same model as the per-token naive step — greedy tokens agree
+    step for step from the same dense cache state."""
+    from benchmarks.naive_baseline import _dense_scan_step
+
+    cfg = LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=101,
+        max_seq_len=32, dtype=jnp.float32,
+    )
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    B, max_seq = 2, 32
+    kv_naive = jnp.zeros((2, B, max_seq, 2, 2, cfg.head_dim), jnp.float32)
+    kv_scan = jnp.zeros((2, 2, B, max_seq, 2, cfg.head_dim), jnp.float32)
+    tok_n = tok_s = jnp.asarray([3, 7], jnp.int32)
+    key = jax.random.PRNGKey(1)
+    for t in range(4):
+        logits_n, kv_naive = _forward_naive(
+            params, cfg, params["embed"][tok_n], kv_naive, t, t + 1, max_seq
+        )
+        tok_n = jnp.argmax(logits_n, -1).astype(jnp.int32)
+        # temperature 0 -> greedy inside _dense_scan_step's sampler
+        tok_s, kv_scan = _dense_scan_step(
+            params, cfg, kv_scan, tok_s, t, key, 0.0, 0.9
+        )
+        assert tok_n.tolist() == tok_s.tolist(), f"step {t}"
+    # cache layouts hold the same values ([L,B,S,2,h,d] vs [L,2,B,S,h,d])
+    np.testing.assert_allclose(
+        np.asarray(kv_naive.transpose(0, 3, 1, 2, 4, 5)),
+        np.asarray(kv_scan), rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_dense_scan_tps_runs():
+    """dense_scan_decode_tps drives its scanned chunks end to end on a tiny
+    config (the bench.py vs_dense_scan row's code path)."""
+    from benchmarks.naive_baseline import dense_scan_decode_tps
+
+    cfg = LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=101,
+        max_seq_len=64, dtype=jnp.float32,
+    )
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    out = dense_scan_decode_tps(
+        cfg, params, bs=2, prompt_len=4, measure_steps=8, warmup_steps=4,
+        chunk=4, max_seq=64,
+    )
+    assert out["tokens_per_s"] > 0 and out["measure_steps"] >= 8
