@@ -271,8 +271,30 @@ class InferenceEngine:
         self.pad_id = config.pad_token_id if config.pad_token_id is not None else 0
         eos = config.eos_token_ids
         self._eos_array = jnp.asarray(eos if eos else [-1], jnp.int32)
+        self._replicate_jit = None  # lazy; only built multi-process
 
     # -- data-parallel plumbing ------------------------------------------
+    def _fetch(self, x) -> np.ndarray:
+        """np.asarray for jit outputs that also works MULTI-PROCESS: a
+        dp-over-DCN array spans non-addressable devices, so direct
+        np.asarray raises. Replicate it through a tiny jit (XLA inserts the
+        cross-host all-gather) and read the now-process-local copy. Every
+        process gets the FULL value — the multi-host contract is SPMD host
+        replication: all processes issue identical engine calls and see
+        identical results (parallel/distributed.py). Single-process arrays
+        take the plain np.asarray path untouched."""
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            if self._replicate_jit is None:
+                from jax.sharding import NamedSharding, PartitionSpec as PS
+
+                self._replicate_jit = jax.jit(
+                    lambda a: a,
+                    out_shardings=NamedSharding(self.shard.mesh, PS()),
+                )
+            rep = self._replicate_jit(x)
+            return np.asarray(rep.addressable_shards[0].data)
+        return np.asarray(x)
+
     def _dp_wrap(self, fn, in_specs, out_specs):
         """shard_map the step function over the manual 'dp' axis (tp stays
         auto — GSPMD places the tensor-parallel collectives from the param
@@ -710,7 +732,7 @@ class InferenceEngine:
                     keys = PrefixCache.chain_keys(prompt, self.page_size)
                     if keys and keys[-1] not in self.prefix[g].entries:
                         if table_host is None:
-                            table_host = np.asarray(self.cache.page_table)
+                            table_host = self._fetch(self.cache.page_table)
                         k_new = len(keys)
                         pages = table_host[s, :k_new].tolist()
                         self.prefix[g].register(keys[-1], pages)
@@ -853,10 +875,10 @@ class InferenceEngine:
             self.stats.prefill_tokens += int(lens.sum())
         self._slot_filled.update(slots)
         return (
-            np.asarray(tok)[pos],
+            self._fetch(tok)[pos],
             lens[pos],
-            np.asarray(last)[pos],
-            np.asarray(lp)[pos],
+            self._fetch(last)[pos],
+            self._fetch(lp)[pos],
         )
 
     def decode(self, slots, tok, done, stop_lens, sampling, n_steps: int):
@@ -915,22 +937,22 @@ class InferenceEngine:
                 samp_l,
                 jnp.asarray(n, jnp.int32),
             )
-            all_toks.append(np.asarray(toks)[:n])
-            all_lps.append(np.asarray(lps)[:n])
+            all_toks.append(self._fetch(toks)[:n])
+            all_lps.append(self._fetch(lps)[:n])
             self.stats.chunks += 1
             remaining -= n
             # Early exit once every live row is done (the download of toks
             # above already synced, so this is a host-side check) — callers
             # pass their full remaining budget in ONE decode() call and the
             # per-chunk arrays (layout, sampling, stops) upload only once.
-            if remaining > 0 and bool(np.asarray(done_l)[pos].all()):
+            if remaining > 0 and bool(self._fetch(done_l)[pos].all()):
                 break
         out = np.concatenate(all_toks, axis=0)[:, pos]
         lps_out = np.concatenate(all_lps, axis=0)[:, pos]
         self.stats.decode_tokens += int(out.shape[0] * out.shape[1])
         return (
-            jnp.asarray(np.asarray(tok_l)[pos]),
-            jnp.asarray(np.asarray(done_l)[pos]),
+            jnp.asarray(self._fetch(tok_l)[pos]),
+            jnp.asarray(self._fetch(done_l)[pos]),
             out,
             lps_out,
         )
