@@ -61,6 +61,29 @@ def bucket_width(n: int) -> int:
 
 
 @dataclasses.dataclass
+class DecodeSession:
+    """Device-resident decode state for a FIXED batch membership.
+
+    Serving used to re-upload the layout, token, done, stop and sampling
+    arrays on every scheduler iteration (~10 host->device transfers per
+    chunk — which dominated serve throughput on tunneled devices, 5x below
+    the batch loop). A session uploads them ONCE; between membership
+    changes every decode chunk runs with zero uploads (the RNG key split
+    and the traced step-limit scalar ride inside the jit call). The
+    scheduler rebuilds the session only when a request joins or finishes
+    (executor/scheduler.py)."""
+
+    slots: tuple
+    pos: np.ndarray  # caller order -> layout row
+    req_ids: jax.Array
+    tok: jax.Array
+    done: jax.Array
+    stop: jax.Array
+    samp: "SamplingParams"
+    mode: str
+
+
+@dataclasses.dataclass
 class EngineStats:
     prefill_tokens: int = 0
     decode_tokens: int = 0
@@ -881,6 +904,79 @@ class InferenceEngine:
             self._fetch(lp)[pos],
         )
 
+    def start_decode_session(
+        self, slots, tok, done, stop_lens, sampling
+    ) -> DecodeSession:
+        """Lay the batch out into dp-group blocks and upload the decode
+        state ONCE (see DecodeSession). ``decode_session`` then runs chunks
+        against the resident arrays with no further uploads until the
+        membership changes."""
+        pos, req_local, W = self._group_layout(slots)
+        Bl = self.dp * W
+
+        def lay(x, fill, dtype):
+            out = np.full((Bl,), fill, dtype)
+            out[pos] = np.asarray(x)
+            return jnp.asarray(out)
+
+        return DecodeSession(
+            slots=tuple(slots),
+            pos=pos,
+            req_ids=jnp.asarray(req_local),
+            tok=lay(tok, 0, np.int32),
+            done=lay(done, True, bool),  # pad rows are born done
+            stop=lay(stop_lens, 0, np.int32),
+            samp=SamplingParams(
+                temperature=lay(sampling.temperature, 1.0, np.float32),
+                top_p=lay(sampling.top_p, 1.0, np.float32),
+                top_k=lay(sampling.top_k, 0, np.int32),
+            ),
+            mode=self._samp_mode(sampling),
+        )
+
+    def decode_session(self, s: DecodeSession, n_steps: int):
+        """Run ``n_steps`` decode steps against a resident session. Returns
+        (tokens [n_steps, B], logprobs [n_steps, B]) in caller order,
+        pad-filled after each row's eos; ``s.tok``/``s.done`` advance on
+        device. The only per-chunk downloads are the emitted tokens (and
+        the done flags when looping for an early exit)."""
+        all_toks, all_lps = [], []
+        remaining = n_steps
+        while remaining > 0:
+            n = min(remaining, self.decode_chunk)
+            run_steps = (
+                self.decode_chunk
+                if n >= self.decode_chunk
+                else next_pow2(n)
+            )
+            self.cache, s.tok, s.done, toks, lps = self._get_chunk_jit(
+                run_steps, s.mode
+            )(
+                self.params,
+                self.cache,
+                s.req_ids,
+                s.tok,
+                s.done,
+                s.stop,
+                self._next_key(),
+                s.samp,
+                jnp.asarray(n, jnp.int32),
+            )
+            all_toks.append(self._fetch(toks)[:n])
+            all_lps.append(self._fetch(lps)[:n])
+            self.stats.chunks += 1
+            remaining -= n
+            # Early exit once every live row is done (the download of toks
+            # above already synced, so this is a host-side check) — callers
+            # pass their full remaining budget in ONE decode()/session call
+            # and the resident arrays upload only once.
+            if remaining > 0 and bool(self._fetch(s.done)[s.pos].all()):
+                break
+        out = np.concatenate(all_toks, axis=0)[:, s.pos]
+        lps_out = np.concatenate(all_lps, axis=0)[:, s.pos]
+        self.stats.decode_tokens += int(out.shape[0] * out.shape[1])
+        return out, lps_out
+
     def decode(self, slots, tok, done, stop_lens, sampling, n_steps: int):
         """Run one jitted multi-step decode chunk. Returns (tokens
         [n_steps, B] np.int32 — pad-filled after each row's eos, done np).
@@ -895,64 +991,15 @@ class InferenceEngine:
         silently clamping would truncate generations).
 
         Rows are internally re-laid out into dp-group blocks (pad rows run
-        fully masked) and results are returned in caller order."""
-        pos, req_local, W = self._group_layout(slots)
-        Bl = self.dp * W
-
-        def lay(x, fill, dtype):
-            out = np.full((Bl,), fill, dtype)
-            out[pos] = np.asarray(x)
-            return jnp.asarray(out)
-
-        mode = self._samp_mode(sampling)
-        tok_l = lay(tok, 0, np.int32)
-        done_l = lay(done, True, bool)  # pad rows are born done
-        stop_l = lay(stop_lens, 0, np.int32)
-        samp_l = SamplingParams(
-            temperature=lay(sampling.temperature, 1.0, np.float32),
-            top_p=lay(sampling.top_p, 1.0, np.float32),
-            top_k=lay(sampling.top_k, 0, np.int32),
-        )
-        req_ids = jnp.asarray(req_local)
-
-        all_toks, all_lps = [], []
-        remaining = n_steps
-        while remaining > 0:
-            n = min(remaining, self.decode_chunk)
-            run_steps = (
-                self.decode_chunk
-                if n >= self.decode_chunk
-                else next_pow2(n)
-            )
-            self.cache, tok_l, done_l, toks, lps = self._get_chunk_jit(
-                run_steps, mode
-            )(
-                self.params,
-                self.cache,
-                req_ids,
-                tok_l,
-                done_l,
-                stop_l,
-                self._next_key(),
-                samp_l,
-                jnp.asarray(n, jnp.int32),
-            )
-            all_toks.append(self._fetch(toks)[:n])
-            all_lps.append(self._fetch(lps)[:n])
-            self.stats.chunks += 1
-            remaining -= n
-            # Early exit once every live row is done (the download of toks
-            # above already synced, so this is a host-side check) — callers
-            # pass their full remaining budget in ONE decode() call and the
-            # per-chunk arrays (layout, sampling, stops) upload only once.
-            if remaining > 0 and bool(self._fetch(done_l)[pos].all()):
-                break
-        out = np.concatenate(all_toks, axis=0)[:, pos]
-        lps_out = np.concatenate(all_lps, axis=0)[:, pos]
-        self.stats.decode_tokens += int(out.shape[0] * out.shape[1])
+        fully masked) and results are returned in caller order. One-shot
+        wrapper over start_decode_session + decode_session; continuous
+        serving holds a session across chunks instead
+        (executor/scheduler.py)."""
+        s = self.start_decode_session(slots, tok, done, stop_lens, sampling)
+        out, lps_out = self.decode_session(s, n_steps)
         return (
-            jnp.asarray(self._fetch(tok_l)[pos]),
-            jnp.asarray(self._fetch(done_l)[pos]),
+            jnp.asarray(self._fetch(s.tok)[s.pos]),
+            jnp.asarray(self._fetch(s.done)[s.pos]),
             out,
             lps_out,
         )

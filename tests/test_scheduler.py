@@ -87,3 +87,35 @@ def test_admission_respects_capacity():
     results = sched.run()
     assert len(results) == 6
     assert engine._host_free_pages == engine.num_pages
+
+
+def test_decode_session_reuploads_only_on_membership_change():
+    """Serving decode state is device-resident (engine.DecodeSession):
+    with a stable live set, successive scheduler iterations must NOT
+    rebuild (re-upload) the session — only admission/completion may
+    (VERDICT r2 next #6: per-chunk host->device uploads dominated serve
+    throughput on tunneled devices)."""
+    import unittest.mock as mock
+
+    engine = make_engine(max_reqs=4, num_pages=32)
+    sched = ContinuousBatchingScheduler(engine)
+    # max_seq_len 32 cap: prompt 3 + gen caps at 29; chunk_steps=4 so many
+    # chunks pass with zero completions.
+    for _ in range(2):
+        sched.submit([1, 2, 3], max_gen_len=25, temperature=0.6, top_p=0.9)
+    with mock.patch.object(
+        engine, "start_decode_session",
+        side_effect=engine.start_decode_session,
+    ) as spy:
+        # Iteration 1 admits (dirty) -> one build; iterations 2..4 decode
+        # with no membership change -> zero builds.
+        for _ in range(4):
+            sched.step()
+        assert spy.call_count == 1, spy.call_count
+        # Drain to completion: the final chunks finish both requests, which
+        # dirties the session again (at most one rebuild before empties).
+        while sched.has_work():
+            sched.step()
+    results = sched.done
+    assert len(results) == 2
+    assert all(len(r.output_tokens) >= 1 for r in results)
