@@ -78,15 +78,18 @@ def chunked_prefill_attention(
     medium). The engine threads a page-rounded bound from its host-side
     chunk bookkeeping. The Pallas kernel ignores it (its per-request page
     walk is already bounded by the traced start_pos)."""
+    from . import attention_prefill
+
     if (
         _use_pallas()
         and not kv_pool.quantized
         and (kv_pool.pages.dtype == k.dtype or q.dtype == jax.numpy.float32)
         and q.shape[1] >= kv_pool.page_size  # kernel needs BK % page_size == 0
-        and q.shape[-1] % 128 == 0  # per-head pool DMA slices need D % 128
+        # 128-lane DMA alignment: D % 128 == 0 directly, or narrow heads
+        # that pack (128/D adjacent heads per wide head — e.g. D=64; see
+        # attention_prefill.pack_factor). Unpackable shapes fall back.
+        and attention_prefill.pack_factor(q.shape[-1], k.shape[2]) >= 1
     ):
-        from . import attention_prefill
-
         return attention_prefill.flash_prefill_chunked(
             q, k, v, chunk_lens, start_pos, kv_pool, layer, page_table,
             sm_scale,
@@ -103,12 +106,11 @@ def paged_decode_attention(
 ):
     # bf16, scale-free fp8 AND int8+scales pools all ride the Pallas kernel:
     # int8 scales are DMA'd per page alongside the tiles and applied in the
-    # kernel (attention_decode._decode_kernel), preserving the int8 bandwidth
-    # saving end to end. Exception: quantized pools with head_dim % 128 != 0
-    # — the in-kernel dequant needs the [tokens, Hkv, D] lane-split view,
-    # which only lowers for 128-multiple head dims, so those fall back to
-    # the XLA dequantizing gather.
-    if _use_pallas() and not (kv_pool.quantized and q.shape[-1] % 128 != 0):
+    # SCORE domain (attention_decode._decode_kernel), preserving the int8
+    # bandwidth saving end to end; quantized pools take the wide form, so
+    # any head_dim (including D=64) is kernel-path (r2's D%128 exclusion is
+    # gone — the tile-view dequant that required it was replaced).
+    if _use_pallas():
         from . import attention_decode
 
         return attention_decode.paged_flash_decode(

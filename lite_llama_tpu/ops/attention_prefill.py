@@ -213,12 +213,14 @@ def _prefill_kernel_vmem(
     sm_scale: float,
     block_k: int,
 ):
-    """Fallback prefill kernel for head_dim % 128 != 0 (e.g. Llama-3.2-1B's
-    D=64): the streamed kernel's manual [BK, D] HBM DMAs need a 128-multiple
-    trailing dim, while Pallas's automatic BlockSpec pipeline pads narrow
-    minor dims transparently. Keeps the whole (b, kv-head) K/V stream
-    VMEM-resident (the round-1 design), so it caps near S~8k — long-context
-    + narrow-head models fall back to the XLA path at the dispatch level."""
+    """Fallback prefill kernel for UNPACKABLE narrow heads (head_dim that
+    doesn't divide 128, or Hkv not a multiple of 128/head_dim): the
+    streamed kernel's manual [BK, D] HBM DMAs need a 128-multiple trailing
+    dim, while Pallas's automatic BlockSpec pipeline pads narrow minor dims
+    transparently. Keeps the whole (b, kv-head) K/V stream VMEM-resident
+    (the round-1 design), so it caps near S~8k. Packable shapes (e.g.
+    Llama-3.2-1B's D=64) take the head-packed streamed kernel instead
+    (pack_factor)."""
     b = pl.program_id(0)
     qi = pl.program_id(2)
     BQ, D = q_ref.shape[2], q_ref.shape[3]
@@ -307,6 +309,20 @@ def _flash_prefill_vmem(
     return out.transpose(0, 2, 1, 3)
 
 
+def pack_factor(head_dim: int, num_kv_heads: int) -> int:
+    """Head-PACKING factor for narrow heads (VERDICT r2 next #7): when
+    head_dim divides 128, ``f = 128 // head_dim`` adjacent KV heads pack
+    into one 128-lane "wide head" so every HBM DMA (chunk stream AND pool
+    history pages) is 128-lane aligned — e.g. Llama-3.2-1B's D=64 packs
+    head pairs. Returns 1 when no packing is needed or possible."""
+    if head_dim % 128 == 0:
+        return 1
+    if 128 % head_dim != 0:
+        return 0  # not packable
+    f = 128 // head_dim
+    return f if num_kv_heads % f == 0 else 0
+
+
 def _flash_prefill_impl(
     q, k, v, chunk_lens, start_pos, kv_pages, layer, table_rows,
     sm_scale, interpret, block_q, block_k, has_history,
@@ -320,11 +336,34 @@ def _flash_prefill_impl(
     BK = min(block_k, S)
     assert S % BQ == 0 and S % BK == 0, (S, BQ, BK)
 
-    # Head-major 5-D views: q [B, Hkv, G, S, D]; head n = h*G + g matches the
-    # HF GQA mapping (query head n attends kv head n // G).
-    qt = q.transpose(0, 2, 1, 3).reshape(B, Hkv, G, S, D)
-    kt = k.transpose(0, 2, 1, 3)  # [B, Hkv, S, D]
-    vt = v.transpose(0, 2, 1, 3)
+    # Narrow heads (D % 128 != 0, e.g. D=64): pack f = 128/D adjacent KV
+    # heads into one 128-lane wide head with a BLOCK-DIAGONAL query — row
+    # (j, g) carries head (hp*f + j)'s query in lane block j and zeros
+    # elsewhere, so the QK dot scores exactly its own head against the
+    # packed [tokens, f*D] K tile (cross-head lanes multiply by zero), and
+    # the packed lane order matches the pool pages' head-major layout, so
+    # the history phase's per-wide-head page DMA (pl.ds(h*Dp, Dp)) stays
+    # 128-aligned. Costs 2x attention-kernel MACs (zero lanes still occupy
+    # the MXU) but keeps VMEM independent of S — unlike the VMEM-resident
+    # fallback this path replaces, which capped context near ~8k.
+    f = pack_factor(D, Hkv)
+    assert f >= 1, (D, Hkv)
+    if f > 1:
+        Hp, Gp, Dp = Hkv // f, f * G, f * D
+        q5 = q.transpose(0, 2, 1, 3).reshape(B, Hp, f, G, S, D)
+        eye = jnp.eye(f, dtype=q.dtype)
+        qt = jnp.einsum("bhjgsd,jl->bhjgsld", q5, eye).reshape(
+            B, Hp, Gp, S, Dp
+        )
+        kt = k.reshape(B, S, Hp, Dp).transpose(0, 2, 1, 3)
+        vt = v.reshape(B, S, Hp, Dp).transpose(0, 2, 1, 3)
+        Hkv, G, D = Hp, Gp, Dp
+    else:
+        # Head-major 5-D views: q [B, Hkv, G, S, D]; head n = h*G + g
+        # matches the HF GQA mapping (query head n attends kv head n // G).
+        qt = q.transpose(0, 2, 1, 3).reshape(B, Hkv, G, S, D)
+        kt = k.transpose(0, 2, 1, 3)  # [B, Hkv, S, D]
+        vt = v.transpose(0, 2, 1, 3)
     mat_dtype = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
 
     if has_history:
@@ -390,7 +429,16 @@ def _flash_prefill_impl(
         ),
         interpret=interpret,
     )(chunk_lens, start_pos, table_arr, layer_arr, qt, kt, vt, *extra_args)
-    return out.reshape(B, Nq, S, D).transpose(0, 2, 1, 3)
+    if f > 1:
+        # Row (j, g)'s true output lives in its own lane block j of the
+        # wide [.., f*D0] result (the PV dot also produced cross-head lanes
+        # weighted by this row's probabilities — junk by construction).
+        # The eye-einsum extracts the diagonal without a gather.
+        D0, G0 = D // f, G // f  # pre-packing head_dim / group size
+        out6 = out.reshape(B, Hkv, f, G0, S, f, D0)
+        eye = jnp.eye(f, dtype=out.dtype)
+        out = jnp.einsum("bhjgsld,jl->bhjgsd", out6, eye)
+    return out.reshape(B, Nq, S, q.shape[-1]).transpose(0, 2, 1, 3)
 
 
 @functools.partial(
@@ -410,11 +458,12 @@ def flash_prefill(
     D = q.shape[-1]
     if sm_scale is None:
         sm_scale = 1.0 / (D**0.5)
-    if D % 128 != 0:
-        # Narrow-head models (D=64 etc): the streamed kernel's manual HBM
-        # DMAs need 128-multiple trailing dims; use the VMEM-resident
-        # BlockSpec pipeline (capped near S~8k — acceptable for these
-        # models' typical contexts).
+    if D % 128 != 0 and pack_factor(D, k.shape[2]) == 0:
+        # Unpackable narrow heads (D doesn't divide 128, or Hkv doesn't
+        # split into whole packs): the streamed kernel's manual HBM DMAs
+        # need 128-multiple trailing dims; use the VMEM-resident BlockSpec
+        # pipeline (capped near S~8k). Packable narrow heads (e.g. D=64)
+        # take the head-packed STREAMED path below instead — unbounded S.
         return _flash_prefill_vmem(
             q, k, v, seq_lens, sm_scale, interpret,
             min(block_q, 128), min(block_k, 128),

@@ -201,6 +201,47 @@ def test_paged_flash_decode_int8_kv_kernel():
         )
 
 
+def test_paged_flash_decode_int8_kv_kernel_narrow_head():
+    """INT8 pool with D=64 (Llama-3.2-1B shape) through the Pallas kernel —
+    the wide score-domain form covers narrow heads too (VERDICT r2 next #7;
+    r2's dispatcher excluded quantized D%128!=0 pools)."""
+    import lite_llama_tpu.ops as ops
+    from lite_llama_tpu.ops import set_backend
+
+    B, Nq, Hkv, D, ps = 2, 8, 2, 64, 16
+    L, P, ppr = 2, 32, 8
+    lens = [33, 9]
+    lens_arr = jnp.asarray(lens, jnp.int32)
+    kv_pages, table = build_paged_kv(
+        jax.random.PRNGKey(4), L, Hkv, P, ps, D, B, ppr, lens, quantized=True
+    )
+    q = jax.random.normal(jax.random.PRNGKey(5), (B, Nq, D), jnp.float32)
+    want = ref.paged_decode_attention(q, kv_pages, 0, table, lens_arr, ppr * ps)
+    got = paged_flash_decode(
+        q, kv_pages, 0, table, lens_arr, ppr * ps, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+    # and the dispatcher actually routes quantized D=64 to the kernel now
+    # (stubbed return: executing non-interpret Pallas on CPU is not the
+    # point — the routing decision is)
+    set_backend("pallas")
+    try:
+        import unittest.mock as mock
+
+        with mock.patch(
+            "lite_llama_tpu.ops.attention_decode.paged_flash_decode",
+            return_value=want,
+        ) as spy:
+            out = ops.paged_decode_attention(
+                q, kv_pages, 0, table, lens_arr, ppr * ps
+            )
+            assert spy.called and out is want
+    finally:
+        set_backend("auto")
+
+
 def test_paged_flash_decode_int8_kv_kernel_virtual_token():
     """INT8 pool + deferred-write virtual token (the engine's actual decode
     configuration when kv_quant='int8')."""
