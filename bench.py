@@ -23,9 +23,10 @@ Env knobs: BENCH_MODEL (preset name), BENCH_BS, BENCH_GEN, BENCH_PROMPT,
 BENCH_PAGE, BENCH_CHUNK, BENCH_QUICK=1 (small smoke config),
 BENCH_QUANT=int8|fp8|int4 (main run uses quantized matmuls),
 BENCH_KV_QUANT=1|fp8 (main run uses a quantized KV cache),
-BENCH_EXTRAS=0 (skip the side rows), BENCH_SERVE=0 (skip the
-continuous-batching serving row), BENCH_LONGCTX=0 (skip the
-prompt-8k decode-timed bf16-vs-int8-KV A/B rows).
+BENCH_EXTRAS=0 (skip the side rows), BENCH_1B=0 (skip the Llama-3.2-1B
+int8-KV narrow-head row), BENCH_SERVE=0 (skip the continuous-batching
+serving row), BENCH_LONGCTX=0 (skip the prompt-8k decode-timed
+bf16-vs-int8-KV A/B rows).
 """
 
 from __future__ import annotations
@@ -372,6 +373,34 @@ def _run_extras_rows(enabled, cfg, result, prompts, bs, prompt_len, gen_len,
             gc.collect()
         except Exception as e:
             progress(f"{row}-failed", repr(e))
+
+    # 1B narrow-head row (VERDICT r2 next #7): Llama-3.2-1B (D=64) with an
+    # INT8 KV pool now rides the head-packed/wide Pallas kernels end to end
+    # — this row proves it on hardware. bs=16 matches the reference's 1B
+    # headline batch (docs/benchmark.md:8-14).
+    if os.environ.get("BENCH_1B", "1") == "1":
+        try:
+            from lite_llama_tpu.models.decoder import init_decoder_params
+            from lite_llama_tpu.models.presets import get_preset
+
+            cfg1b = get_preset("llama-3.2-1b", dtype=jnp.bfloat16,
+                               max_seq_len=2048)
+            params = init_decoder_params(cfg1b, jax.random.PRNGKey(0))
+            rng1 = np.random.default_rng(2)
+            prompts1b = [
+                rng1.integers(0, cfg1b.vocab_size, size=prompt_len).tolist()
+                for _ in range(16)
+            ]
+            eng = build_engine(cfg1b, params, 16, prompt_len, gen_len,
+                               page_size, chunk, kv_quant=True)
+            del params
+            gc.collect()
+            detail["1b_int8_kv"] = run_engine(eng, prompts1b, gen_len, chunk)
+            progress("1b_int8_kv", detail["1b_int8_kv"])
+            del eng
+            gc.collect()
+        except Exception as e:
+            progress("1b_int8_kv-failed", repr(e))
 
     if os.environ.get("BENCH_SERVE", "1") == "1":
         try:

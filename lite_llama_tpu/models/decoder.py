@@ -134,22 +134,34 @@ def fuse_qkv_params(params: dict, tp: int = 1) -> dict:
         L, H = wq.q.shape[0], wq.q.shape[1]
         Nq, D = wq.out_shape
         Nkv = wkv.out_shape[-2]
+        assert wq.packed == wkv.packed
+        # Packed int4 halves the stored O axis (two nibbles per byte); all
+        # shard-slice boundaries below are multiples of D, which is even,
+        # so slicing the BYTE axis at len/pk never splits a nibble pair.
+        pk = 2 if wq.packed else 1
         # wkv's flat O axis is (2, Nkv, D) row-major: k then v, each [Nkv*D].
-        kvq = wkv.q.reshape(L, H, 2, tp, (Nkv // tp) * D)
-        qs = wq.q.reshape(L, H, tp, (Nq // tp) * D)
+        kvq = wkv.q.reshape(L, H, 2, tp, (Nkv // tp) * D // pk)
+        qs = wq.q.reshape(L, H, tp, (Nq // tp) * D // pk)
         ks, vs = kvq[:, :, 0], kvq[:, :, 1]
         q_flat = jnp.concatenate([qs, ks, vs], axis=-1).reshape(
-            L, H, tp * ((Nq + 2 * Nkv) // tp) * D
+            L, H, tp * ((Nq + 2 * Nkv) // tp) * D // pk
         )
-        sq = wq.scale.reshape(L, tp, (Nq // tp) * D)
-        skv = wkv.scale.reshape(L, 2, tp, (Nkv // tp) * D)
+        # Scales keep the full O axis; C-grouped scales carry an extra nG
+        # axis before O ([L, nG, O]) — the ellipsis keeps both layouts.
+        sq = wq.scale.reshape(*wq.scale.shape[:-1], tp, (Nq // tp) * D)
+        skv = wkv.scale.reshape(
+            *wkv.scale.shape[:-1], 2, tp, (Nkv // tp) * D
+        )
         s_flat = jnp.concatenate(
-            [sq, skv[:, 0], skv[:, 1]], axis=-1
-        ).reshape(L, tp * ((Nq + 2 * Nkv) // tp) * D)
+            [sq, skv[..., 0, :, :], skv[..., 1, :, :]], axis=-1
+        ).reshape(
+            *wq.scale.shape[:-1], tp * ((Nq + 2 * Nkv) // tp) * D
+        )
         layers["wqkv"] = QTensor(
             q=q_flat, scale=s_flat,
             unit_shape=(H, Nq + 2 * Nkv, D),
             out_shape=(Nq + 2 * Nkv, D),
+            packed=wq.packed,
         )
     else:
         L, H, Nq, D = wq.shape

@@ -228,6 +228,14 @@ class ShardingPolicy:
                 import dataclasses as _dc
 
                 q_spec, s_spec = spec
+                if node.grouped and s_spec is not None:
+                    # C-grouped scales carry an extra nG axis before O
+                    # ([*stack, nG, O]); the spec tables are written for the
+                    # ungrouped rank — replicate the group axis.
+                    p = tuple(s_spec.spec)
+                    s_spec = NamedSharding(
+                        s_spec.mesh, P(*p[:-1], None, p[-1])
+                    )
                 return _dc.replace(
                     node,
                     q=jax.device_put(node.q, q_spec),

@@ -102,3 +102,26 @@ def test_unfused_quantized_wkv_cannot_shard():
             cfg, qparams, page_size=8, max_reqs=4, num_pages=32,
             mesh=mesh, fuse_qkv=False,
         )
+
+
+@pytest.mark.parametrize("group_size", [None, 16], ids=["perchan", "g16"])
+def test_int4_engine_mesh_parity(group_size):
+    """Packed INT4 (optionally C-grouped scales) under tp=2: fusion must
+    concatenate the PACKED byte axis without splitting nibble pairs, the
+    grouped scale gets its nG axis replicated by the sharding policy, and
+    generation matches the single-device int4 engine token for token."""
+    cfg = tiny_cfg()
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    q4 = quantize_decoder_params(params, jnp.int4, group_size=group_size)
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    base = InferenceEngine(cfg, q4, page_size=8, max_reqs=4, num_pages=32)
+    want = _generate(base, prompts)
+    sharded = InferenceEngine(
+        cfg, q4, page_size=8, max_reqs=4, num_pages=32,
+        mesh=make_mesh(tp=2, dp=1),
+    )
+    fused = sharded.params["layers"]["wqkv"]
+    assert isinstance(fused, QTensor) and fused.packed
+    if group_size is not None:
+        assert fused.grouped and fused.scale.ndim == 3
+    assert _generate(sharded, prompts) == want
