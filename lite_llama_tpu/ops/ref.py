@@ -23,6 +23,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# History-block width for the streamed chunked-prefill fallback: above this
+# the dense [B, Hq, S_chunk, T_h] score form is replaced by an online-softmax
+# scan over TB-token blocks (memory ~ S_chunk * TB instead of S_chunk * T_h).
+_HIST_BLOCK = 2048
+
+
+def cdiv_int(a: int, b: int) -> int:
+    return -(-a // b)
+
 # ---------------------------------------------------------------------------
 # Norms
 
@@ -254,37 +263,106 @@ def chunked_prefill_attention(
         max_hist_len = page_table.shape[1] * ps
     if sm_scale is None:
         sm_scale = 1.0 / (D**0.5)
-    k_h, v_h = gather_kv_pages(kv_pool, layer, page_table, max_hist_len, q.dtype)
-    # [B, Hkv, T_h, D] -> grouped query attention over [history | chunk].
+    qh = q.transpose(0, 2, 1, 3)  # [B, Hq, S, D]
     kc = _repeat_kv(k.transpose(0, 2, 1, 3), groups, 1)  # [B, Hq, S, D]
     vc = _repeat_kv(v.transpose(0, 2, 1, 3), groups, 1)
-    kh = _repeat_kv(k_h, groups, 1)  # [B, Hq, T_h, D]
-    vh = _repeat_kv(v_h, groups, 1)
-    qh = q.transpose(0, 2, 1, 3)  # [B, Hq, S, D]
-    s_hist = jnp.einsum(
-        "bhsd,bhtd->bhst", qh, kh, preferred_element_type=jnp.float32
-    ) * sm_scale
+    t_c = jnp.arange(S, dtype=jnp.int32)
+    causal = t_c[None, :, None] >= t_c[None, None, :]  # [1, S(q), S(k)]
+    mask_c = causal & (t_c[None, None, :] < chunk_lens[:, None, None])
+    NEG = -1e30  # finite mask value: keeps the online-softmax guards exact
+
+    if max_hist_len <= _HIST_BLOCK:
+        # Short history: one dense gather + joint softmax (the original
+        # contract formulation).
+        k_h, v_h = gather_kv_pages(
+            kv_pool, layer, page_table, max_hist_len, q.dtype
+        )
+        kh = _repeat_kv(k_h, groups, 1)  # [B, Hq, T_h, D]
+        vh = _repeat_kv(v_h, groups, 1)
+        s_hist = jnp.einsum(
+            "bhsd,bhtd->bhst", qh, kh, preferred_element_type=jnp.float32
+        ) * sm_scale
+        s_chunk = jnp.einsum(
+            "bhsd,bhtd->bhst", qh, kc, preferred_element_type=jnp.float32
+        ) * sm_scale
+        t_h = jnp.arange(max_hist_len, dtype=jnp.int32)
+        mask_h = t_h[None, :] < start_pos[:, None]  # [B, T_h]
+        s_hist = jnp.where(mask_h[:, None, None, :], s_hist, -jnp.inf)
+        s_chunk = jnp.where(mask_c[:, None, :, :], s_chunk, -jnp.inf)
+        s_all = jnp.concatenate([s_hist, s_chunk], axis=-1)
+        p = jax.nn.softmax(s_all, axis=-1)
+        p_h, p_c = p[..., :max_hist_len], p[..., max_hist_len:]
+        out = jnp.einsum(
+            "bhst,bhtd->bshd", p_h.astype(q.dtype), vh,
+            preferred_element_type=jnp.float32,
+        ) + jnp.einsum(
+            "bhst,bhtd->bshd", p_c.astype(q.dtype), vc,
+            preferred_element_type=jnp.float32,
+        )
+        return out.astype(q.dtype)
+
+    # Long history: STREAM it in _HIST_BLOCK-token blocks under lax.scan
+    # with an online softmax, instead of materializing [B, Hq, S, T_h] fp32
+    # scores (at an 8k history that dense form is ~10 GB — an OOM cliff this
+    # fallback used to hit for quantized pools, which bypass the Pallas
+    # history-streaming kernel; ADVICE r2 medium, second half).
+    TB = _HIST_BLOCK
+    assert TB % ps == 0
+    bp = TB // ps
+    n_blocks = cdiv_int(max_hist_len, TB)
+    need = n_blocks * bp
+    pt_pad = (
+        page_table[:, :need] if page_table.shape[1] >= need
+        else jnp.pad(page_table, ((0, 0), (0, need - page_table.shape[1])))
+    )  # pad pages gather garbage rows; the t_abs >= start_pos mask kills them
+
+    def body(carry, i):
+        m, l, acc = carry
+        pt_blk = jax.lax.dynamic_slice_in_dim(pt_pad, i * bp, bp, axis=1)
+        k_h, v_h = gather_kv_pages(kv_pool, layer, pt_blk, TB, q.dtype)
+        kh = _repeat_kv(k_h, groups, 1)  # [B, Hq, TB, D]
+        vh = _repeat_kv(v_h, groups, 1)
+        s = jnp.einsum(
+            "bhsd,bhtd->bhst", qh, kh, preferred_element_type=jnp.float32
+        ) * sm_scale
+        t_abs = i * TB + jnp.arange(TB, dtype=jnp.int32)
+        mask = t_abs[None, :] < start_pos[:, None]  # [B, TB]
+        s = jnp.where(mask[:, None, None, :], s, NEG)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.where(s > 0.5 * NEG, jnp.exp(s - m_new), 0.0)
+        corr = jnp.where(m > 0.5 * NEG, jnp.exp(m - m_new), 0.0)
+        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jnp.einsum(
+            "bhst,bhtd->bhsd", p.astype(q.dtype), vh,
+            preferred_element_type=jnp.float32,
+        )
+        return (m_new, l_new, acc * corr + pv), None
+
+    m0 = jnp.full((B, Hq, S, 1), NEG, jnp.float32)
+    l0 = jnp.zeros((B, Hq, S, 1), jnp.float32)
+    acc0 = jnp.zeros((B, Hq, S, D), jnp.float32)
+    (m_h, l_h, acc_h), _ = jax.lax.scan(
+        body, (m0, l0, acc0), jnp.arange(n_blocks, dtype=jnp.int32)
+    )
+
+    # Chunk part (dense [S, S] — bounded by the engine's prefill_chunk),
+    # then the standard two-part LSE combine.
     s_chunk = jnp.einsum(
         "bhsd,bhtd->bhst", qh, kc, preferred_element_type=jnp.float32
     ) * sm_scale
-    t_h = jnp.arange(max_hist_len, dtype=jnp.int32)
-    t_c = jnp.arange(S, dtype=jnp.int32)
-    mask_h = t_h[None, :] < start_pos[:, None]  # [B, T_h]
-    causal = t_c[None, :, None] >= t_c[None, None, :]  # [1, S(q), S(k)]
-    mask_c = causal & (t_c[None, None, :] < chunk_lens[:, None, None])
-    s_hist = jnp.where(mask_h[:, None, None, :], s_hist, -jnp.inf)
-    s_chunk = jnp.where(mask_c[:, None, :, :], s_chunk, -jnp.inf)
-    s_all = jnp.concatenate([s_hist, s_chunk], axis=-1)
-    p = jax.nn.softmax(s_all, axis=-1)
-    p_h, p_c = p[..., :max_hist_len], p[..., max_hist_len:]
-    out = jnp.einsum(
-        "bhst,bhtd->bshd", p_h.astype(q.dtype), vh,
-        preferred_element_type=jnp.float32,
-    ) + jnp.einsum(
-        "bhst,bhtd->bshd", p_c.astype(q.dtype), vc,
+    s_chunk = jnp.where(mask_c[:, None, :, :], s_chunk, NEG)
+    m_c = jnp.max(s_chunk, axis=-1, keepdims=True)
+    p_c = jnp.where(s_chunk > 0.5 * NEG, jnp.exp(s_chunk - m_c), 0.0)
+    l_c = jnp.sum(p_c, axis=-1, keepdims=True)
+    o_c = jnp.einsum(
+        "bhst,bhtd->bhsd", p_c.astype(q.dtype), vc,
         preferred_element_type=jnp.float32,
     )
-    return out.astype(q.dtype)
+    m_t = jnp.maximum(m_h, m_c)
+    a = jnp.where(m_h > 0.5 * NEG, jnp.exp(m_h - m_t), 0.0)
+    b = jnp.where(m_c > 0.5 * NEG, jnp.exp(m_c - m_t), 0.0)
+    out = (acc_h * a + o_c * b) / jnp.maximum(l_h * a + l_c * b, 1e-30)
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)
 
 
 # ---------------------------------------------------------------------------

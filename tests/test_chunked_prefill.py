@@ -306,3 +306,40 @@ def test_packed_narrow_head_chunked_16k():
         np.asarray(got[0, sel]), np.asarray(want[0, sel]),
         rtol=5e-5, atol=5e-5,
     )
+
+
+def test_ref_blocked_history_matches_dense():
+    """Long histories stream through the fallback's online-softmax block
+    scan instead of dense [B, Hq, S, T_h] scores (the ~10 GB OOM cliff for
+    quantized pools at 8k history — ADVICE r2 medium, second half). With
+    _HIST_BLOCK patched small, the blocked path must match the dense
+    formulation bit-for-tolerance on the same inputs."""
+    import unittest.mock as mock
+
+    from lite_llama_tpu.ops import ref as ref_mod
+
+    B, Hkv, Nq, D, ps = 2, 2, 4, 64, 16
+    S_hist, S_c = 96, 32
+    lens_total = [120, 100]
+    key = jax.random.PRNGKey(11)
+    cache, req, k_full, v_full, hist_lens = _setup_history(
+        key, B, S_hist, S_c, Hkv, D, ps, lens_total
+    )
+    q_c = jax.random.normal(
+        jax.random.PRNGKey(12), (B, S_c, Nq, D), jnp.float32
+    )
+    lens_arr = jnp.asarray(lens_total, jnp.int32)
+    chunk_lens = jnp.clip(lens_arr - S_hist, 0, S_c)
+    args = (
+        q_c, k_full[:, S_hist:], v_full[:, S_hist:],
+        chunk_lens, hist_lens, cache.kv_pages, 0, cache.page_table[req],
+    )
+    want = ref.chunked_prefill_attention(*args)  # dense (96 <= 2048)
+    with mock.patch.object(ref_mod, "_HIST_BLOCK", 32):
+        got = ref_mod.chunked_prefill_attention(*args)  # 3 blocks
+    for b in range(B):
+        n = int(chunk_lens[b])
+        np.testing.assert_allclose(
+            np.asarray(got[b, :n]), np.asarray(want[b, :n]),
+            rtol=2e-5, atol=2e-5, err_msg=f"b={b}",
+        )
