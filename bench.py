@@ -108,7 +108,7 @@ def serve_tps(cfg, params, max_reqs=12, requests=40, chunk=32, seed=0):
         cfg, params, page_size=64, max_reqs=max_reqs,
         num_pages=max_reqs * (1024 // 64) + 16, decode_chunk=chunk,
     )
-    sched = ContinuousBatchingScheduler(engine)
+    sched = ContinuousBatchingScheduler(engine, admit_every=4)
     rng = np.random.default_rng(seed)
     for plen in (8, 16, 33, 63):
         sched.submit(rng.integers(0, cfg.vocab_size, size=plen).tolist(),

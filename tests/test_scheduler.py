@@ -119,3 +119,26 @@ def test_decode_session_reuploads_only_on_membership_change():
     results = sched.done
     assert len(results) == 2
     assert all(len(r.output_tokens) >= 1 for r in results)
+
+
+def test_admit_every_batches_admissions():
+    """admit_every=N: after the initial fill, waiting requests are admitted
+    at most every N chunks (completions batch into one prefill instead of
+    one prefill per finish), and everything still completes."""
+    import unittest.mock as mock
+
+    engine = make_engine(max_reqs=2, num_pages=32)
+    sched = ContinuousBatchingScheduler(engine, admit_every=3,
+                                        max_prefill_batch=2)
+    for _ in range(6):
+        sched.submit([1, 2, 3], max_gen_len=6, temperature=0.0)
+    with mock.patch.object(
+        engine, "prefill", side_effect=engine.prefill
+    ) as spy:
+        results = sched.run()
+    assert len(results) == 6
+    assert all(len(r.output_tokens) >= 1 for r in results)
+    # 6 requests, 2 slots, prefill batches of <=2: at least 3 prefills are
+    # necessary; admission batching must not add more than one per refill
+    # window (strictly fewer calls than one-per-request).
+    assert 3 <= spy.call_count < 6, spy.call_count
