@@ -68,22 +68,25 @@ def chunked_prefill_attention(
     max_hist_len=None,
 ):
     """Chunk queries attend pool history [0, start_pos) + causal chunk
-    prefix. Pallas streams history pages from the pool; quantized or
-    dtype-mismatched pools fall back to the XLA dense-gather reference.
+    prefix. Pallas streams history pages from the pool — including INT8
+    pools (int8 tiles + per-page scale slabs, whole-tile in-kernel dequant);
+    scale-free fp8 or otherwise dtype-mismatched pools fall back to the XLA
+    reference, which streams long histories in blocks.
 
     ``max_hist_len`` (static) bounds the history span the FALLBACK gathers:
-    without it the dense path materializes scores over the full page-table
-    span (pages_per_req * page_size = max_seq_len) per layer per chunk — an
-    OOM/latency cliff for quantized pools with long max_seq (ADVICE r2
-    medium). The engine threads a page-rounded bound from its host-side
-    chunk bookkeeping. The Pallas kernel ignores it (its per-request page
-    walk is already bounded by the traced start_pos)."""
+    without it the dense path scored the full page-table span per layer per
+    chunk (ADVICE r2 medium). The engine threads a page-rounded bound from
+    its host-side chunk bookkeeping. The Pallas kernel ignores it (its
+    per-request page walk is already bounded by the traced start_pos)."""
     from . import attention_prefill
 
     if (
         _use_pallas()
-        and not kv_pool.quantized
-        and (kv_pool.pages.dtype == k.dtype or q.dtype == jax.numpy.float32)
+        and (
+            kv_pool.quantized  # int8+scales: in-kernel dequant
+            or kv_pool.pages.dtype == k.dtype
+            or q.dtype == jax.numpy.float32
+        )
         and q.shape[1] >= kv_pool.page_size  # kernel needs BK % page_size == 0
         # 128-lane DMA alignment: D % 128 == 0 directly, or narrow heads
         # that pack (128/D adjacent heads per wide head — e.g. D=64; see

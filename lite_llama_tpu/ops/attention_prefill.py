@@ -56,18 +56,25 @@ def _prefill_kernel(
     k_ref,  # [B, Hkv, S, D] HBM — this chunk's keys, head-major
     v_ref,  # [B, Hkv, S, D] HBM
     # + kv_pages_ref [L, 2, T, Hkv*D] HBM when has_history
+    # + kv_scales_ref [L, 2, T, SL] HBM when quantized
     *rest,
     sm_scale: float,
     block_k: int,
     page_size: int,
     has_history: bool,
+    quantized: bool,
+    pack_f: int,
     mat_dtype,
 ):
-    if has_history:
+    if quantized:
+        (kv_pages_ref, kv_scales_ref, out_ref, k_buf, v_buf,
+         hk_buf, hv_buf, ksc_buf, vsc_buf, sems) = rest
+    elif has_history:
         kv_pages_ref, out_ref, k_buf, v_buf, sems = rest
+        kv_scales_ref = None
     else:
         out_ref, k_buf, v_buf, sems = rest
-        kv_pages_ref = None
+        kv_pages_ref = kv_scales_ref = None
     b = pl.program_id(0)
     h = pl.program_id(1)
     qi = pl.program_id(2)
@@ -94,17 +101,21 @@ def _prefill_kernel(
     q_pos = qi * BQ + row % BQ  # in-chunk position of each q row
 
     def copies(i, slot):
-        """DMA descriptors for pipeline iteration i (history or chunk)."""
+        """DMA descriptors for pipeline iteration i (history or chunk).
+        History tiles land in (hk, hv) when the pool is quantized (separate
+        int8 buffers + per-page [ps, SL] scale slabs, like the decode
+        kernel); chunk-stream tiles always land in (k_buf, v_buf)."""
         cs = []
         if has_history:
             layer = layer_ref[0]
             last = jnp.maximum(pl.cdiv(hist, ps), 1) - 1
-            base = i * UH
             hist_i = jnp.minimum(i, jnp.maximum(n_hist - 1, 0))
+            hkb = hk_buf if quantized else k_buf
+            hvb = hv_buf if quantized else v_buf
             for f in range(UH):
                 page = table_ref[b, jnp.minimum(hist_i * UH + f, last)]
                 row0 = pl.multiple_of(page * ps, ps)
-                for half, buf in ((0, k_buf), (1, v_buf)):
+                for half, buf in ((0, hkb), (1, hvb)):
                     cs.append(
                         (
                             i < n_hist,
@@ -118,6 +129,20 @@ def _prefill_kernel(
                             ),
                         )
                     )
+                if quantized:
+                    for half, sbuf in ((0, ksc_buf), (1, vsc_buf)):
+                        cs.append(
+                            (
+                                i < n_hist,
+                                pltpu.make_async_copy(
+                                    kv_scales_ref.at[
+                                        layer, half, pl.ds(row0, ps)
+                                    ],
+                                    sbuf.at[slot, pl.ds(f * ps, ps)],
+                                    sems.at[slot],
+                                ),
+                            )
+                        )
         jc = jnp.maximum(i - n_hist, 0)
         j0 = pl.multiple_of(jc * BK, BK)
         for src, buf in ((k_ref, k_buf), (v_ref, v_buf)):
@@ -153,10 +178,29 @@ def _prefill_kernel(
 
     out_ref[...] = jnp.zeros_like(out_ref)
 
-    @pl.when(total > 0)
-    def work():
-        start(0, 0)
+    if quantized:
+        # Lane-expansion matrix for WHOLE-TILE dequant (right for prefill:
+        # the multiply amortizes over all G*BQ query rows, unlike decode
+        # where score-domain won): E [SL, D] with E[h2, l] = 1 iff original
+        # head h2 owns lane l of this program's (possibly pack_f-packed)
+        # wide head. M = slab @ E gives M[t, l] = scale[t, head_of(l)],
+        # expressible where a flat per-column scale vector is not (Mosaic
+        # vector-layout probe, see attention_decode).
+        SLq = ksc_buf.shape[-1]
+        D0 = D // pack_f
+        lane = jax.lax.broadcasted_iota(jnp.int32, (SLq, D), 1)
+        hrow = jax.lax.broadcasted_iota(jnp.int32, (SLq, D), 0)
+        e_expand = (hrow == h * pack_f + lane // D0).astype(jnp.float32)
 
+        def deq(buf, sbuf, slot):
+            m_sc = jax.lax.dot_general(
+                sbuf[slot].astype(jnp.float32), e_expand,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [BK, D]
+            return buf[slot].astype(mat_dtype) * m_sc.astype(mat_dtype)
+
+    def make_body(is_hist_phase):
         def body(i, carry):
             m, l, acc = carry
             slot = jax.lax.rem(i, N_BUF)
@@ -166,13 +210,24 @@ def _prefill_kernel(
                 start(i + 1, jax.lax.rem(i + 1, N_BUF))
 
             wait(i, slot)
-            k = k_buf[slot].astype(mat_dtype)  # [BK, D]
-            v = v_buf[slot].astype(mat_dtype)
+            if quantized and is_hist_phase:
+                k = deq(hk_buf, ksc_buf, slot)
+                v = deq(hv_buf, vsc_buf, slot)
+            else:
+                k = k_buf[slot].astype(mat_dtype)  # [BK, D]
+                v = v_buf[slot].astype(mat_dtype)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [rows, BK]
-            if has_history:
+            if quantized:
+                # Two-phase form: the phase is static, masks simplify.
+                if is_hist_phase:
+                    valid = (i * BK + col) < hist
+                else:
+                    p_c = (i - n_hist) * BK + col
+                    valid = (p_c <= q_pos) & (p_c < chunk_len)
+            elif has_history:
                 is_hist = i < n_hist
                 p_h = i * BK + col  # absolute history position
                 p_c = (i - n_hist) * BK + col  # in-chunk position
@@ -195,10 +250,31 @@ def _prefill_kernel(
             )
             return m_new, l_new, acc * corr + pv
 
+        return body
+
+    @pl.when(total > 0)
+    def work():
+        start(0, 0)
         m0 = jnp.full((rows, 1), NEG_INF, jnp.float32)
         l0 = jnp.zeros((rows, 1), jnp.float32)
         acc0 = jnp.zeros((rows, D), jnp.float32)
-        m, l, acc = jax.lax.fori_loop(0, total, body, (m0, l0, acc0))
+        if quantized:
+            # Separate history/chunk loops: the phases read different
+            # buffers (int8 pool tiles vs the chunk stream's dtype), and a
+            # static phase avoids computing both dequant variants per
+            # iteration. The DMA pipeline spans the boundary: the last
+            # history iteration prefetches the first chunk block.
+            carry = jax.lax.fori_loop(
+                0, n_hist, make_body(True), (m0, l0, acc0)
+            )
+            m, l, acc = jax.lax.fori_loop(
+                n_hist, total, make_body(False), carry
+            )
+        else:
+            m, l, acc = jax.lax.fori_loop(
+                0, total, make_body(False if not has_history else None),
+                (m0, l0, acc0),
+            )
         out = acc / jnp.maximum(l, 1e-30)
         out_ref[0, 0] = out.reshape(G, BQ, D).astype(out_ref.dtype)
 
@@ -366,19 +442,23 @@ def _flash_prefill_impl(
         vt = v.transpose(0, 2, 1, 3)
     mat_dtype = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
 
+    quantized = bool(has_history and kv_pages.quantized)
     if has_history:
         ps = kv_pages.page_size
         assert BK % ps == 0, (BK, ps)
-        assert not kv_pages.quantized, (
-            "chunked-prefill history streaming serves full-precision pools; "
-            "quantized pools dispatch through ops.ref.chunked_prefill_attention"
-        )
         pages = kv_pages.pages
-        assert pages.dtype == kt.dtype or q.dtype == jnp.float32, (
-            pages.dtype, kt.dtype,
-        )
-        extra_in = [pl.BlockSpec(memory_space=pl.ANY)]
-        extra_args = (pages,)
+        if quantized:
+            # INT8 pool: history tiles stream as int8 + per-page [ps, SL]
+            # scale slabs into separate scratch buffers; the chunk stream
+            # keeps its own dtype. Dequant is whole-tile in-kernel.
+            extra_in = [pl.BlockSpec(memory_space=pl.ANY)] * 2
+            extra_args = (pages, kv_pages.scales)
+        else:
+            assert pages.dtype == kt.dtype or q.dtype == jnp.float32, (
+                pages.dtype, kt.dtype,
+            )
+            extra_in = [pl.BlockSpec(memory_space=pl.ANY)]
+            extra_args = (pages,)
         layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
         table_arr = table_rows
     else:
@@ -389,7 +469,23 @@ def _flash_prefill_impl(
         table_arr = jnp.zeros((B, 1), jnp.int32)
         start_pos = jnp.zeros((B,), jnp.int32)
 
-    buf_dtype = kv_pages.pages.dtype if has_history else kt.dtype
+    buf_dtype = (
+        kt.dtype if quantized
+        else (kv_pages.pages.dtype if has_history else kt.dtype)
+    )
+    scratch = [
+        pltpu.VMEM((N_BUF, BK, D), buf_dtype),
+        pltpu.VMEM((N_BUF, BK, D), buf_dtype),
+    ]
+    if quantized:
+        SL = kv_pages.scales.shape[-1]
+        scratch += [
+            pltpu.VMEM((N_BUF, BK, D), kv_pages.pages.dtype),  # hk
+            pltpu.VMEM((N_BUF, BK, D), kv_pages.pages.dtype),  # hv
+            pltpu.VMEM((N_BUF, BK, SL), kv_pages.scales.dtype),  # ksc
+            pltpu.VMEM((N_BUF, BK, SL), kv_pages.scales.dtype),  # vsc
+        ]
+    scratch.append(pltpu.SemaphoreType.DMA((N_BUF,)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(B, Hkv, S // BQ),
@@ -406,11 +502,7 @@ def _flash_prefill_impl(
             (1, 1, G, BQ, D), lambda b, h, i, *_: (b, h, 0, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((N_BUF, BK, D), buf_dtype),
-            pltpu.VMEM((N_BUF, BK, D), buf_dtype),
-            pltpu.SemaphoreType.DMA((N_BUF,)),
-        ],
+        scratch_shapes=scratch,
     )
     kernel = functools.partial(
         _prefill_kernel,
@@ -418,6 +510,8 @@ def _flash_prefill_impl(
         block_k=BK,
         page_size=ps,
         has_history=has_history,
+        quantized=quantized,
+        pack_f=f,
         mat_dtype=mat_dtype,
     )
     out = pl.pallas_call(

@@ -343,3 +343,61 @@ def test_ref_blocked_history_matches_dense():
             np.asarray(got[b, :n]), np.asarray(want[b, :n]),
             rtol=2e-5, atol=2e-5, err_msg=f"b={b}",
         )
+
+
+def _setup_history_quant(key, B, S_hist, S_c, Hkv, D, ps, lens_total):
+    """Like _setup_history but with an INT8-quantized pool (quantize-on-
+    write through kv_write_prefill, like the engine)."""
+    cache = create_kv_cache(
+        1, Hkv, D, num_pages=64, page_size=ps, max_reqs=B,
+        max_seq_len=S_hist + S_c, dtype=jnp.float32, quantized=True,
+    )
+    req = jnp.arange(B, dtype=jnp.int32)
+    lens_arr = jnp.asarray(lens_total, jnp.int32)
+    cache = alloc_prefill(cache, req, lens_arr)
+    k_full = jax.random.normal(key, (B, S_hist + S_c, Hkv, D), jnp.float32)
+    v_full = jax.random.normal(
+        jax.random.fold_in(key, 1), (B, S_hist + S_c, Hkv, D), jnp.float32
+    )
+    hist_lens = jnp.minimum(lens_arr, S_hist)
+    cache.kv_pages = kv_write_prefill(
+        cache.kv_pages, 0, k_full[:, :S_hist], v_full[:, :S_hist],
+        cache.page_table[req], jnp.zeros((B,), jnp.int32), hist_lens,
+    )
+    return cache, req, k_full, v_full, hist_lens
+
+
+@pytest.mark.parametrize("D", [128, 64], ids=["D128", "D64-packed"])
+def test_pallas_chunked_int8_pool_matches_ref(D):
+    """INT8 pool history through the STREAMED Pallas kernel (per-page scale
+    slabs + whole-tile in-kernel dequant) == the XLA dequantizing-gather
+    contract — both for D=128 and for the head-packed D=64 form. Extends
+    the history-streaming kernel to quantized pools (ADVICE r2 medium's
+    second half; r2 asserted them out)."""
+    B, Hkv, Nq, ps = 2, 2, 4, 16
+    S_hist, S_c = 32, 16
+    lens_total = [44, 37]
+    key = jax.random.PRNGKey(21)
+    cache, req, k_full, v_full, hist_lens = _setup_history_quant(
+        key, B, S_hist, S_c, Hkv, D, ps, lens_total
+    )
+    q_c = jax.random.normal(
+        jax.random.PRNGKey(22), (B, S_c, Nq, D), jnp.float32
+    )
+    lens_arr = jnp.asarray(lens_total, jnp.int32)
+    chunk_lens = jnp.clip(lens_arr - S_hist, 0, S_c)
+    want = ref.chunked_prefill_attention(
+        q_c, k_full[:, S_hist:], v_full[:, S_hist:],
+        chunk_lens, hist_lens, cache.kv_pages, 0, cache.page_table[req],
+    )
+    got = flash_prefill_chunked(
+        q_c, k_full[:, S_hist:], v_full[:, S_hist:],
+        chunk_lens, hist_lens, cache.kv_pages, 0, cache.page_table[req],
+        interpret=True, block_q=16, block_k=16,
+    )
+    for b in range(B):
+        n = int(chunk_lens[b])
+        np.testing.assert_allclose(
+            np.asarray(got[b, :n]), np.asarray(want[b, :n]),
+            rtol=2e-4, atol=2e-4, err_msg=f"b={b}",
+        )
