@@ -125,3 +125,27 @@ def test_int4_engine_mesh_parity(group_size):
     if group_size is not None:
         assert fused.grouped and fused.scale.ndim == 3
     assert _generate(sharded, prompts) == want
+
+
+def test_int4_qwen2_bias_engine_tp_parity():
+    """Qwen2 (attention biases) with int4 weights under tp=2: the fused
+    qkv_bias rides alongside the packed fused weight; parity vs
+    single-device int4."""
+    from lite_llama_tpu.config import Qwen2Config
+
+    cfg = Qwen2Config(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=8, vocab_size=96,
+        max_seq_len=64, dtype=jnp.float32, eos_token_id=95,
+    )
+    params = init_decoder_params(cfg, jax.random.PRNGKey(3))
+    q4 = quantize_decoder_params(params, jnp.int4, group_size=16)
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    base = InferenceEngine(cfg, q4, page_size=8, max_reqs=4, num_pages=32)
+    want = _generate(base, prompts)
+    sharded = InferenceEngine(
+        cfg, q4, page_size=8, max_reqs=4, num_pages=32,
+        mesh=make_mesh(tp=2, dp=1),
+    )
+    assert "qkv_bias" in sharded.params["layers"]
+    assert _generate(sharded, prompts) == want
