@@ -81,7 +81,19 @@ def _mk_pool(L, P, Hkv, ps, D, B, seq, dtype=jnp.bfloat16, quantized=False):
     T = P * ps
     meta = dict(page_size=ps, num_kv_heads=Hkv, head_dim=D)
     shape = (L, 2, T, Hkv * D)
-    if quantized:  # fp8, scale-free (the TPU quantized-KV mode)
+    if quantized == "int8":  # int8 + per-(token, head) bf16 scale slabs
+        from lite_llama_tpu.executor.kv_cache import SCALE_LANES
+
+        vals = jax.random.normal(key, (L, 2, T, Hkv, D), jnp.float32)
+        amax = jnp.max(jnp.abs(vals), axis=-1, keepdims=True)
+        sc = (jnp.maximum(amax, 1e-6) / 127.0).astype(jnp.bfloat16)
+        qv = jnp.clip(jnp.round(vals / sc.astype(jnp.float32)), -127, 127)
+        scales = jnp.zeros((L, 2, T, SCALE_LANES), jnp.bfloat16)
+        scales = scales.at[..., :Hkv].set(sc[..., 0])
+        pool = KVPool(
+            pages=qv.astype(jnp.int8).reshape(shape), scales=scales, **meta,
+        )
+    elif quantized:  # fp8, scale-free (the TPU quantized-KV mode)
         pool = KVPool(
             pages=jax.random.normal(key, shape, jnp.float32)
             .astype(jnp.float8_e4m3fn),
@@ -104,9 +116,19 @@ def _mk_pool(L, P, Hkv, ps, D, B, seq, dtype=jnp.bfloat16, quantized=False):
 
 
 def bench_decode_attention(results, quick):
-    L, Hkv, Nq, D, ps = 1, 8, 24, 128, 64
+    L, ps = 1, 64
     seqs = [1024] if quick else [256, 1024, 2048]
-    for quantized in ([False] if quick else [False, True]):
+    # (quantized-mode, Hkv, Nq, D): bf16/fp8/int8 at the 3B shape, plus the
+    # 1B narrow-head (D=64, wide+packed kernel forms) in bf16 and int8.
+    variants = [(False, 8, 24, 128)]
+    if not quick:
+        variants += [
+            (True, 8, 24, 128),        # fp8 scale-free
+            ("int8", 8, 24, 128),      # int8 score-domain dequant
+            (False, 8, 32, 64),        # 1B shape, wide form
+            ("int8", 8, 32, 64),       # 1B int8 (wide + score-domain)
+        ]
+    for quantized, Hkv, Nq, D in variants:
         for seq in seqs:
             B = 12
             P = B * ((seq + ps - 1) // ps) + 2
@@ -124,7 +146,12 @@ def bench_decode_attention(results, quick):
                     q, pool, 0, table, lens, table.shape[1] * ps, 0.088)),
                 q,
             )
-            tag = "fp8" if quantized else "bf16"
+            tag = (
+                "int8" if quantized == "int8"
+                else ("fp8" if quantized else "bf16")
+            )
+            if D != 128:
+                tag += f" D{D}"
             results.append(
                 dict(op=f"paged_decode_attn[{tag}]", shape=f"B{B} seq{seq}",
                      pallas_ms=t_k, ref_ms=t_r,
@@ -133,23 +160,27 @@ def bench_decode_attention(results, quick):
 
 
 def bench_prefill_attention(results, quick):
-    Nq, Hkv, D = 24, 8, 128
     seqs = [512] if quick else [256, 512, 1024]
-    for S in seqs:
-        B = 4
-        q = jax.random.normal(jax.random.PRNGKey(0), (B, S, Nq, D), jnp.bfloat16)
-        k = jax.random.normal(jax.random.PRNGKey(1), (B, S, Hkv, D), jnp.bfloat16)
-        v = jax.random.normal(jax.random.PRNGKey(2), (B, S, Hkv, D), jnp.bfloat16)
-        lens = jnp.full((B,), S, jnp.int32)
-        flops = 4 * B * Nq * S * S * D / 2  # causal
-        t_k = timeit(jax.jit(lambda q, k, v: flash_prefill(q, k, v, lens, 0.088)),
-                     q, k, v)
-        t_r = timeit(jax.jit(lambda q, k, v: ref.prefill_attention(q, k, v, lens, 0.088)),
-                     q, k, v)
-        results.append(
-            dict(op="flash_prefill", shape=f"B{B} S{S}", pallas_ms=t_k,
-                 ref_ms=t_r, tflops=round(flops / (t_k / 1000) / 1e12, 2))
-        )
+    # 3B shape (D=128, direct) and 1B shape (D=64, head-packed streamed).
+    shapes = [(24, 8, 128)] if quick else [(24, 8, 128), (32, 8, 64)]
+    for Nq, Hkv, D in shapes:
+        for S in seqs:
+            B = 4
+            q = jax.random.normal(jax.random.PRNGKey(0), (B, S, Nq, D), jnp.bfloat16)
+            k = jax.random.normal(jax.random.PRNGKey(1), (B, S, Hkv, D), jnp.bfloat16)
+            v = jax.random.normal(jax.random.PRNGKey(2), (B, S, Hkv, D), jnp.bfloat16)
+            lens = jnp.full((B,), S, jnp.int32)
+            sm = 1.0 / (D ** 0.5)
+            flops = 4 * B * Nq * S * S * D / 2  # causal
+            t_k = timeit(jax.jit(lambda q, k, v: flash_prefill(q, k, v, lens, sm)),
+                         q, k, v)
+            t_r = timeit(jax.jit(lambda q, k, v: ref.prefill_attention(q, k, v, lens, sm)),
+                         q, k, v)
+            tag = "flash_prefill" + (f"[D{D}-packed]" if D != 128 else "")
+            results.append(
+                dict(op=tag, shape=f"B{B} S{S}", pallas_ms=t_k,
+                     ref_ms=t_r, tflops=round(flops / (t_k / 1000) / 1e12, 2))
+            )
 
 
 def main():
