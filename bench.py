@@ -166,7 +166,12 @@ def run_engine_split(engine, prompts, gen_len, chunk):
         engine.release_slots(slots, max_total)
         return t1 - t0, t2 - t1, toks.shape[0]
 
-    run(min(gen_len - 1, 2 * chunk + 2))  # compile both phases
+    # Compile pass: the prefill shapes plus ONE full decode-chunk bucket
+    # (the measured run's tail re-uses the same bucket via the traced step
+    # limit, so more warm-up steps would only repeat the workload — at the
+    # default chunk=128/gen=256 the old 2*chunk+2 warm-up duplicated the
+    # entire row).
+    run(min(gen_len - 1, chunk))
     steps = gen_len - 1
     pre_s, dec_s, steps_run = run(steps)
     return {

@@ -804,6 +804,12 @@ class InferenceEngine:
             out[pos] = np.asarray(x)
             return jnp.asarray(out)
 
+        # Static sample mode from the CALLER'S params, before layout: the
+        # pad-row fill values (1.0, 1.0, 0) would otherwise satisfy the
+        # untruncated-request exact predicate and silently flip every
+        # padded prefill batch onto the full-vocab-sort path (pad rows'
+        # samples are discarded, so their mode is irrelevant).
+        mode = self._samp_mode(sampling)
         samp_p = SamplingParams(
             temperature=lay1(sampling.temperature, 1.0, np.float32),
             top_p=lay1(sampling.top_p, 1.0, np.float32),
@@ -874,7 +880,7 @@ class InferenceEngine:
                     cached_arr + ci * Wc,
                     last_logits,
                 )
-            tok, lp = self._get_prefill_sample_jit(self._samp_mode(samp_p))(
+            tok, lp = self._get_prefill_sample_jit(mode)(
                 last_logits, self._next_key(), samp_p
             )
             last = last_logits
@@ -884,9 +890,7 @@ class InferenceEngine:
             ids = np.full((Bl, S), self.pad_id, np.int32)
             for i, t in enumerate(token_lists):
                 ids[ids_rows[i], : len(t)] = t
-            self.cache, tok, last, lp = self._get_prefill_jit(
-                self._samp_mode(samp_p)
-            )(
+            self.cache, tok, last, lp = self._get_prefill_jit(mode)(
                 self.params,
                 self.cache,
                 jnp.asarray(ids),

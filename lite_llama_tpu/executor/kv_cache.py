@@ -44,8 +44,7 @@ import jax
 import jax.numpy as jnp
 
 
-def cdiv(a, b):
-    return (a + b - 1) // b
+from ..ops.ref import cdiv_int as cdiv  # canonical ceil-div (ops layer)
 
 
 @functools.partial(

@@ -450,8 +450,14 @@ def _flash_prefill_impl(
         if quantized:
             # INT8 pool: history tiles stream as int8 + per-page [ps, SL]
             # scale slabs into separate scratch buffers; the chunk stream
-            # keeps its own dtype. Dequant is whole-tile in-kernel.
-            extra_in = [pl.BlockSpec(memory_space=pl.ANY)] * 2
+            # keeps its own dtype. Dequant is whole-tile in-kernel. The
+            # scale plane is EXPLICIT HBM: under pl.ANY the compiler hoists
+            # the (seemingly small) plane into VMEM, breaking the per-page
+            # DMA slices (probed on v5e — see attention_decode).
+            extra_in = [
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ]
             extra_args = (pages, kv_pages.scales)
         else:
             assert pages.dtype == kt.dtype or q.dtype == jnp.float32, (

@@ -30,6 +30,8 @@ _HIST_BLOCK = 2048
 
 
 def cdiv_int(a: int, b: int) -> int:
+    """Ceil-div; the canonical definition — executor/kv_cache.py re-exports
+    it as ``cdiv`` (ops is the lower layer, so the import points this way)."""
     return -(-a // b)
 
 # ---------------------------------------------------------------------------

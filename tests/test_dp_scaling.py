@@ -46,7 +46,10 @@ def _decode_wall_s(engine, bs: int, n_steps: int) -> float:
     rng = np.random.default_rng(0)
     prompts = [rng.integers(0, 512, size=8).tolist() for _ in range(bs)]
     sampling = _make_sampling(bs, 0.0, 1.0, 0)
-    max_total = [8 + n_steps + 1] * bs
+    # Room for prompt + warm-up (8 steps) + measured steps: otherwise the
+    # tail of the measured chunk runs frozen at the stop length and the
+    # reported tok/s silently counts pad emissions.
+    max_total = [8 + 8 + n_steps + 1] * bs
     slots = engine.admit_requests(max_total)
     first, _, _, _ = engine.prefill(prompts, sampling, slots)
     tok = jnp.asarray(first)

@@ -133,3 +133,37 @@ def test_chat_completion(engine):
     assert len(preds[0]["tokens"]) == len(preds[0]["logprobs"])
     # special tags are rejected (reference UNSAFE_ERROR behavior)
     assert "special tags" in preds[1]["generation"]["content"]
+
+
+def test_padded_prefill_batch_keeps_approx_mode():
+    """A bucket-padded prefill batch must compute its static sample mode
+    from the CALLER'S sampling params, not the laid-out array — the pad-row
+    fill values (temperature=1.0, top_p=1.0, top_k=0) satisfy the
+    untruncated-request exact predicate and used to flip every padded batch
+    onto the full-vocab-sort path (code-review r3 finding #1)."""
+    import unittest.mock as mock
+
+    cfg = LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=97,
+        max_seq_len=64, dtype=jnp.float32, eos_token_id=96,
+    )
+    engine = InferenceEngine(
+        cfg, init_decoder_params(cfg, jax.random.PRNGKey(0)),
+        page_size=8, max_reqs=8, num_pages=64, decode_chunk=8,
+    )
+    gen = TextGenerator(engine)
+    modes = []
+    orig = engine._get_prefill_jit
+
+    def spy(mode):
+        modes.append(mode)
+        return orig(mode)
+
+    with mock.patch.object(engine, "_get_prefill_jit", side_effect=spy):
+        # 5 requests bucket to width 6 -> one pad row with exact-looking
+        # fill values.
+        gen.generate_tokens(
+            [[1, 2, 3]] * 5, max_gen_len=2, temperature=0.6, top_p=0.9
+        )
+    assert modes == ["approx"], modes

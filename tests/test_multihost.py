@@ -49,14 +49,19 @@ def test_two_process_dp_engine_parity():
         ))
     results = {}
     outputs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=1200)
-        outputs.append(out)
-        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
-        for line in out.splitlines():
-            if line.startswith("RESULT "):
-                r = json.loads(line[len("RESULT "):])
-                results[r["pid"]] = r
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=1200)
+            outputs.append(out)
+            assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+            for line in out.splitlines():
+                if line.startswith("RESULT "):
+                    r = json.loads(line[len("RESULT "):])
+                    results[r["pid"]] = r
+    finally:
+        for p in procs:  # a failed worker must not orphan its sibling
+            if p.poll() is None:
+                p.kill()
     assert set(results) == {0, 1}, f"missing worker results:\n{outputs}"
 
     r0, r1 = results[0], results[1]
