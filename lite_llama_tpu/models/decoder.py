@@ -27,6 +27,7 @@ TPU-native design (not a translation):
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple, Optional
 
 import functools
@@ -37,10 +38,29 @@ import jax.numpy as jnp
 from .. import ops
 from ..executor.kv_cache import kv_write_decode_all, kv_write_prefill
 from ..parallel.shardings import ShardingPolicy
-from ..quant.qtensor import qeinsum
+from ..quant.qtensor import QTensor, qeinsum
 from .rotary import compute_inv_freq_dual
 
 _NOSHARD = ShardingPolicy(mesh=None)
+
+
+def _split_scan_leaves(layers: dict):
+    """Partition the layer tree for the scan: QTensor leaves are closure-
+    captured layer-STACKED (the Pallas matmul kernel indexes the stacked
+    HBM storage by layer via scalar prefetch — scanning them as xs would
+    hand the kernel per-layer dynamic-slice COPIES, ops/qmatmul.py); plain
+    arrays keep riding scan xs, which slices them per iteration exactly as
+    before."""
+    q = {k: v for k, v in layers.items() if isinstance(v, QTensor)}
+    s = {k: v for k, v in layers.items() if not isinstance(v, QTensor)}
+    return q, s
+
+
+def _layer_params(scanned: dict, q_leaves: dict, li):
+    lp = dict(scanned)
+    for k, qt in q_leaves.items():
+        lp[k] = dataclasses.replace(qt, layer=li)
+    return lp
 
 
 class AttnContext(NamedTuple):
@@ -146,16 +166,18 @@ def fuse_qkv_params(params: dict, tp: int = 1) -> dict:
         q_flat = jnp.concatenate([qs, ks, vs], axis=-1).reshape(
             L, H, tp * ((Nq + 2 * Nkv) // tp) * D // pk
         )
-        # Scales keep the full O axis; C-grouped scales carry an extra nG
-        # axis before O ([L, nG, O]) — the ellipsis keeps both layouts.
-        sq = wq.scale.reshape(*wq.scale.shape[:-1], tp, (Nq // tp) * D)
+        # Scales: packed int4 stores PAIRED scales ([.., O/2], one per byte
+        # column — quant/qtensor.py), so their units follow the byte axis
+        # (the same /pk). C-grouped scales carry an extra nG axis before O
+        # ([L, nG, O]) — the ellipsis keeps both layouts.
+        sq = wq.scale.reshape(*wq.scale.shape[:-1], tp, (Nq // tp) * D // pk)
         skv = wkv.scale.reshape(
-            *wkv.scale.shape[:-1], 2, tp, (Nkv // tp) * D
+            *wkv.scale.shape[:-1], 2, tp, (Nkv // tp) * D // pk
         )
         s_flat = jnp.concatenate(
             [sq, skv[..., 0, :, :], skv[..., 1, :, :]], axis=-1
         ).reshape(
-            *wq.scale.shape[:-1], tp * ((Nq + 2 * Nkv) // tp) * D
+            *wq.scale.shape[:-1], tp * ((Nq + 2 * Nkv) // tp) * D // pk
         )
         layers["wqkv"] = QTensor(
             q=q_flat, scale=s_flat,
@@ -198,8 +220,9 @@ def _project_qkv(cfg, lp, x, shard):
     (shard-periodic head order; see fuse_qkv_params)."""
     Nq, Nkv = cfg.num_attention_heads, cfg.num_key_value_heads
     D = cfg.head_dim
+    ak = shard.tp == 1  # pallas matmul is opaque to GSPMD (qeinsum)
     if "wqkv" in lp:
-        qkv = qeinsum("...h,hnd->...nd", x, lp["wqkv"])  # [..., Ntot, D]
+        qkv = qeinsum("...h,hnd->...nd", x, lp["wqkv"], allow_kernel=ak)
         if "qkv_bias" in lp:
             qkv = qkv + lp["qkv_bias"]
         t = shard.tp
@@ -210,8 +233,8 @@ def _project_qkv(cfg, lp, x, shard):
         k = g[..., nq : nq + nkv, :].reshape(*batch, Nkv, D)
         v = g[..., nq + nkv :, :].reshape(*batch, Nkv, D)
     else:
-        q = qeinsum("...h,hnd->...nd", x, lp["wq"])
-        kv = qeinsum("...h,hcnd->...cnd", x, lp["wkv"])
+        q = qeinsum("...h,hnd->...nd", x, lp["wq"], allow_kernel=ak)
+        kv = qeinsum("...h,hcnd->...cnd", x, lp["wkv"], allow_kernel=ak)
         if "q_bias" in lp:
             q = q + lp["q_bias"]
             kv = kv + lp["kv_bias"]
@@ -225,16 +248,29 @@ def _project_qkv(cfg, lp, x, shard):
 
 
 def _mlp(cfg, lp, x, shard):
-    gu = qeinsum("...h,chi->...ci", x, lp["gate_up_proj"])
+    ak = shard.tp == 1
+    gu = qeinsum("...h,chi->...ci", x, lp["gate_up_proj"], allow_kernel=ak)
     gu = shard.ffn(gu)
     out = ops.swiglu(gu[..., 0, :], gu[..., 1, :])
-    return shard.hidden(qeinsum("...i,ih->...h", out, lp["down_proj"]))
+    return shard.hidden(
+        qeinsum("...i,ih->...h", out, lp["down_proj"], allow_kernel=ak)
+    )
 
 
-def _unembed(params, cfg, normed):
+def _unembed(params, cfg, normed, shard=_NOSHARD):
     if "lm_head" in params:
+        w = params["lm_head"]
+        if isinstance(w, QTensor) and w.packed and w.layer is None:
+            # Route the (single, unstacked) lm_head through the layered
+            # kernel path as layer 0 of a 1-deep stack — the biggest
+            # matmul of the step gets the packed-byte streaming too.
+            w = dataclasses.replace(
+                w, q=w.q[None], scale=w.scale[None],
+                layer=jnp.asarray(0, jnp.int32),
+            )
         return qeinsum(
-            "...h,hv->...v", normed, params["lm_head"], out_dtype=jnp.float32
+            "...h,hv->...v", normed, w, out_dtype=jnp.float32,
+            allow_kernel=shard.tp == 1,
         )
     return jnp.dot(
         normed, params["embed"].T, preferred_element_type=jnp.float32
@@ -298,9 +334,12 @@ def decoder_prefill(
     cos, sin = _rope_tables(cfg, positions, ctx.seq_lens)
     sm_scale = 1.0 / (cfg.head_dim**0.5)
 
+    q_leaves, scan_leaves = _split_scan_leaves(params["layers"])
+
     def layer_fn(carry, xs):
         x, residual, kv_pages = carry
-        lp, li = xs
+        lp_s, li = xs
+        lp = _layer_params(lp_s, q_leaves, li)
         normed, residual = ops.skip_rms_norm(
             x, residual, lp["attn_norm"], cfg.rms_norm_eps
         )
@@ -329,13 +368,13 @@ def decoder_prefill(
 
     L = cfg.num_hidden_layers
     init = (h, jnp.zeros_like(h), kv_pages)
-    xs = (params["layers"], jnp.arange(L, dtype=jnp.int32))
+    xs = (scan_leaves, jnp.arange(L, dtype=jnp.int32))
     (x, residual, kv_pages), _ = jax.lax.scan(layer_fn, init, xs)
     normed, _ = ops.skip_rms_norm(x, residual, params["final_norm"], cfg.rms_norm_eps)
     if last_only:
         last = jnp.maximum(ctx.chunk_lens - 1, 0)  # [B]
         normed = normed[jnp.arange(B), last]  # [B, H]
-    logits = _unembed(params, cfg, normed)
+    logits = _unembed(params, cfg, normed, shard)
     return logits, kv_pages
 
 
@@ -362,13 +401,16 @@ def decoder_decode(
     sm_scale = 1.0 / (cfg.head_dim**0.5)
     max_seq = ctx.table_rows.shape[1] * kv_pages.page_size
 
+    q_leaves, scan_leaves = _split_scan_leaves(params["layers"])
+
     def layer_fn(carry, xs):
         # The pool is READ-ONLY inside the scan: each layer's new K/V rides
         # into attention as a virtual page and all layers scatter into the
         # pool once after the scan (kv_write_decode_all) — keeping the carried
         # pool buffer aliasable in place (no per-layer 2.9GB ping-pong copy).
         x, residual = carry
-        lp, li = xs
+        lp_s, li = xs
+        lp = _layer_params(lp_s, q_leaves, li)
         normed, residual = ops.skip_rms_norm(
             x, residual, lp["attn_norm"], cfg.rms_norm_eps
         )
@@ -390,11 +432,11 @@ def decoder_decode(
 
     L = cfg.num_hidden_layers
     init = (h, jnp.zeros_like(h))
-    xs = (params["layers"], jnp.arange(L, dtype=jnp.int32))
+    xs = (scan_leaves, jnp.arange(L, dtype=jnp.int32))
     (x, residual), (k_all, v_all) = jax.lax.scan(layer_fn, init, xs)
     kv_pages = kv_write_decode_all(
         kv_pages, k_all, v_all, ctx.table_rows, ctx.start_pos, ctx.active
     )
     normed, _ = ops.skip_rms_norm(x, residual, params["final_norm"], cfg.rms_norm_eps)
-    logits = _unembed(params, cfg, normed)
+    logits = _unembed(params, cfg, normed, shard)
     return logits, kv_pages

@@ -29,6 +29,7 @@ SURVEY.md §2.6). Design:
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from dataclasses import dataclass, field
 from typing import Any, Tuple
@@ -44,7 +45,11 @@ class QTensor:
 
     q: [*stack, C, O] (contraction dims flattened to C, out dims to O);
     scale: fp32 [*stack, O], or [*stack, nG, O] for C-grouped scales
-    (group g covers contraction rows [g*C/nG, (g+1)*C/nG)). ``unit_shape``
+    (group g covers contraction rows [g*C/nG, (g+1)*C/nG)). Packed int4
+    tensors store PAIRED scales — [*stack, O/2] / [*stack, nG, O/2], one
+    scale per byte column shared by its two output channels — so q and
+    scale slice/shard on the same byte axis and the matmul kernel applies
+    one scale row to both nibble halves. ``unit_shape``
     (static) is the logical per-layer shape (contract dims + out dims, stack
     axes excluded) used to restore the original view in ``dequant``;
     ``out_shape`` (static) is the logical output-dims tuple qeinsum reshapes
@@ -52,14 +57,22 @@ class QTensor:
     intact.
 
     ``packed=True`` (INT4): ``q`` is int8 ``[*stack, C, O//2]`` holding two
-    signed nibbles per byte along the OUTPUT axis, produced/consumed with
-    ``lax.bitcast_convert_type`` (so nibble order is bitcast-consistent by
-    construction). Storage stays int8 because passing s4 arrays as jit args
-    trips a TPU-plugin RecursionError (probed, round 2); the s4 view exists
-    only INSIDE jitted bodies, where XLA handles it natively. Weight HBM
-    traffic is then a QUARTER of bf16 — decode is weight-bandwidth-bound at
-    ~86%% SOL (docs/performance_optimization.md), making int4 the biggest
-    remaining single-chip lever (VERDICT r2 next #3)."""
+    signed nibbles per byte along the OUTPUT axis — byte j packs output
+    columns (2j, 2j+1) as (low, high) nibble. Adjacent-pair order keeps
+    byte-axis slicing semantics trivial (a byte slice [a, b) IS the output
+    slice [2a, 2b) — what fuse_qkv_params and the tp shardings rely on).
+    Everything is plain int8 arithmetic: pack = shift/or, unpack =
+    shift-left + arithmetic-shift-right. The s4 dtype appears NOWHERE —
+    s4 jit args trip a TPU-plugin RecursionError (probed, round 2), and the
+    earlier in-jit ``bitcast_convert_type``+nibble-interleave-reshape unpack
+    measured 3.3x slower per scanned layer than int8 (the [C, O//2, 2] ->
+    [C, O] reshape is a cross-lane nibble shuffle). The HOT path never
+    interleaves the weight at all: qeinsum runs TWO dots on the shifted
+    nibble halves (even / odd output columns) and interleaves the tiny
+    [B, O/2] OUTPUTS instead. Weight HBM traffic is then a QUARTER of bf16 —
+    decode is weight-bandwidth-bound (docs/performance_optimization.md),
+    making int4 the biggest remaining single-chip lever (VERDICT r2 next
+    #3)."""
 
     q: jax.Array
     scale: jax.Array
@@ -70,6 +83,12 @@ class QTensor:
         default=(), metadata=dict(static=True)
     )
     packed: bool = field(default=False, metadata=dict(static=True))
+    # Set (to a traced scalar) inside the decoder's layer scan: q/scale stay
+    # LAYER-STACKED and ``layer`` indexes axis 0 at use time — the Pallas
+    # matmul kernel then block-reads the layer's tiles straight from the
+    # stacked HBM array via scalar prefetch instead of forcing a per-layer
+    # dynamic-slice copy of the whole weight (ops/qmatmul.py).
+    layer: Any = None
 
     @property
     def shape(self):
@@ -87,15 +106,34 @@ class QTensor:
     def grouped(self) -> bool:
         return self.scale.ndim == self.n_stack + 2
 
+    def unpack_halves(self):
+        """(even, odd) int8 nibble halves ``[*stack, C, O//2]`` — even[j] is
+        output column 2j, odd[j] is 2j+1. Pure shifts; no s4, no interleave
+        (the hot qeinsum path consumes the halves directly)."""
+        b = self.q
+        even = jax.lax.shift_right_arithmetic(
+            jax.lax.shift_left(b, jnp.int8(4)), jnp.int8(4)
+        )
+        odd = jax.lax.shift_right_arithmetic(b, jnp.int8(4))
+        return even, odd
+
     def unpack(self) -> jax.Array:
-        """The [*stack, C, O] integer-valued weight view (s4 for packed)."""
+        """The [*stack, C, O] integer-valued weight view (int8 values in
+        [-7, 7] for packed int4). OFF the hot path (dequant/tests): the
+        final stack-reshape interleave is the cross-lane shuffle qeinsum
+        exists to avoid."""
         if not self.packed:
             return self.q
-        q4 = jax.lax.bitcast_convert_type(self.q, jnp.int4)
-        return q4.reshape(*q4.shape[:-2], q4.shape[-2] * 2)
+        even, odd = self.unpack_halves()
+        return jnp.stack([even, odd], axis=-1).reshape(
+            *self.q.shape[:-1], self.q.shape[-1] * 2
+        )
 
     def dequant(self, dtype=jnp.bfloat16) -> jax.Array:
         w = self.unpack().astype(jnp.float32)
+        self = dataclasses.replace(
+            self, scale=jnp.repeat(self.scale, 2, axis=-1)
+        ) if self.packed else self  # paired [.., O/2] -> canonical [.., O]
         if self.grouped:
             nG = self.scale.shape[-2]
             C, O = w.shape[-2], w.shape[-1]
@@ -179,14 +217,22 @@ def _quantize_2d_stacked(w2, qdtype_name: str, stacked: bool, group_size):
             scale = jnp.maximum(amax, 1e-8) / 127.0
             q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
         elif qdtype_name == "int4":
-            scale = jnp.maximum(amax, 1e-8) / 7.0
-            q4 = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int4)
-            # Pack nibble pairs along O via bitcast (unpack is the inverse
-            # bitcast, so the byte order round-trips by construction).
-            q4 = q4.reshape(C, O)
-            q = jax.lax.bitcast_convert_type(
-                q4.reshape(C, O // 2, 2), jnp.int8
-            )
+            # PAIRED output-channel scales: columns (2j, 2j+1) — one packed
+            # byte — share one scale, so the stored scale is [.., O/2] and
+            # every downstream byte-axis slice/shard applies identically to
+            # q and scale (and the matmul kernel multiplies both nibble
+            # halves by the same [.., O/2] row — no even/odd scale split
+            # anywhere). Accuracy cost is one amax over channel pairs.
+            amax2 = jnp.max(
+                amax.reshape(*amax.shape[:-1], O // 2, 2), axis=-1
+            )  # [.., 1, O/2]: pair-reduce the contraction-reduced amax
+            scale = jnp.maximum(amax2, 1e-8) / 7.0
+            sfull = jnp.repeat(scale, 2, axis=-1)
+            q4 = jnp.clip(jnp.round(wf / sfull), -7, 7).astype(jnp.int8)
+            # Pack adjacent output pairs: byte j = (col 2j+1) << 4 | (col 2j
+            # & 0xF). Plain int8 shift/or — the inverse of unpack_halves.
+            q4 = q4.reshape(C, O // 2, 2)
+            q = ((q4[..., 1] << 4) | (q4[..., 0] & 0xF)).astype(jnp.int8)
         else:  # fp8 e4m3: max finite 448
             scale = jnp.maximum(amax, 1e-8) / 448.0
             q = (wf / scale).astype(jnp.float8_e4m3fn)
@@ -205,7 +251,74 @@ def _quantize_2d_stacked(w2, qdtype_name: str, stacked: bool, group_size):
     return one(w2)
 
 
-def qeinsum(pattern: str, x: jax.Array, w: Any, out_dtype=None) -> jax.Array:
+def _interleave_last(a: jax.Array, b: jax.Array) -> jax.Array:
+    """[..., O/2] even/odd column pairs -> [..., O] canonical order."""
+    return jnp.stack([a, b], axis=-1).reshape(*a.shape[:-1], 2 * a.shape[-1])
+
+
+def _qeinsum_layered(
+    pattern: str, x: jax.Array, w: QTensor, out_dtype, allow_kernel: bool
+) -> jax.Array:
+    """A layer-stacked QTensor used at ``w.layer``. On TPU, packed int4
+    weights with kernel-supported shapes ride the Pallas streaming matmul
+    (ops/qmatmul.py) against the STACKED storage; everything else slices
+    the layer (identical to what lax.scan's xs-slicing used to do) and
+    falls through to the XLA path."""
+    from .. import ops as _ops
+    from ..ops import qmatmul as _qmm
+
+    dt = out_dtype or x.dtype
+    C, Os = w.q.shape[-2], w.q.shape[-1]
+    rest = w.q.shape[1:-2]  # stack dims after the layer axis (e.g. (2,))
+    n_rest = 1
+    for d in rest:
+        n_rest *= d
+    xr = x.reshape(-1, C)
+    M = xr.shape[0]
+    nG = w.scale.shape[-2] if w.grouped else None
+    if (
+        allow_kernel
+        and w.packed
+        and _ops._use_pallas()
+        and _qmm.qmm_supported(C, Os, nG, M)
+    ):
+        qf = w.q.reshape(-1, C, Os)
+        sf = w.scale.reshape(-1, *w.scale.shape[1 + len(rest):])
+        outs = [
+            _qmm.quantized_matmul_packed(
+                xr, qf, sf, w.layer * n_rest + j, out_dtype=dt
+            )
+            for j in range(n_rest)
+        ]
+        y = outs[0] if not rest else jnp.stack(outs, axis=1)
+        batch = x.shape[: x.ndim - _contract_ndims(x, C)]
+        return y.reshape(*batch, *rest, *w.out_shape).astype(dt)
+    sliced = QTensor(
+        q=jax.lax.dynamic_index_in_dim(w.q, w.layer, 0, keepdims=False),
+        scale=jax.lax.dynamic_index_in_dim(
+            w.scale, w.layer, 0, keepdims=False
+        ),
+        unit_shape=w.unit_shape,
+        out_shape=w.out_shape,
+        packed=w.packed,
+    )
+    return qeinsum(pattern, x, sliced, out_dtype)
+
+
+def _contract_ndims(x: jax.Array, C: int) -> int:
+    """How many trailing dims of x flatten to the contraction width C."""
+    k, prod = 0, 1
+    while prod != C:
+        k += 1
+        assert k <= x.ndim, (x.shape, C)
+        prod *= x.shape[-k]
+    return k
+
+
+def qeinsum(
+    pattern: str, x: jax.Array, w: Any, out_dtype=None,
+    allow_kernel: bool = True,
+) -> jax.Array:
     """einsum that accepts a plain array or a QTensor for ``w``.
 
     For QTensor the op ignores the pattern string and runs the flattened
@@ -215,7 +328,14 @@ def qeinsum(pattern: str, x: jax.Array, w: Any, out_dtype=None) -> jax.Array:
     along the contraction), and the output is reshaped to the weight's
     logical out dims. Requires the einsum's output trailing dims to be
     exactly the weight's out dims (true for every decoder projection).
+
+    ``allow_kernel=False`` keeps layer-indexed packed weights off the
+    Pallas kernel (the decoder passes tp > 1: a pallas_call is opaque to
+    GSPMD, so tensor-parallel-sharded weights must use the XLA dual-dot
+    path, which partitions like any dot).
     """
+    if isinstance(w, QTensor) and w.layer is not None:
+        return _qeinsum_layered(pattern, x, w, out_dtype, allow_kernel)
     if isinstance(w, QTensor):
         dt = out_dtype or x.dtype
         C = w.q.shape[-2]
@@ -227,32 +347,49 @@ def qeinsum(pattern: str, x: jax.Array, w: Any, out_dtype=None) -> jax.Array:
         batch = x.shape[: x.ndim - k]
         n_stack = w.n_stack  # e.g. gate_up sliced under scan: [2, H, I]
         xr = x.reshape(*batch, C)
-        wq = w.unpack().astype(dt)  # int8/int4-view/fp8 -> matmul dtype
-        O = wq.shape[-1]
+        # Packed int4: TWO dots on the shifted nibble halves (even / odd
+        # output columns), interleaving only the small RESULTS — the weight
+        # itself is never interleaved (a cross-lane nibble shuffle that
+        # measured 3.3x slower per scanned layer than int8).
+        halves = w.unpack_halves() if w.packed else (w.q,)
+        Os = w.q.shape[-1]  # stored width: O (plain) or O/2 (packed bytes)
         if w.grouped:
             # C-grouped scales: per-group dots batched over nG, then the
             # per-(group, channel) scale and a sum over groups. Exact: the
             # scale is constant within each group's contraction slice.
+            # Packed scales are PAIRED ([*stack, nG, O/2], one per byte
+            # column), so each nibble half is scaled by the SAME rows and
+            # the halves interleave after the group sum.
             nG = w.scale.shape[-2]
             Gs = C // nG
             xg = xr.reshape(*batch, nG, Gs)
-            wg = wq.reshape(*w.q.shape[:-2], nG, Gs, O)
             bdim = len(batch)
-            y = jax.lax.dot_general(
-                xg, wg,
-                (((bdim + 1,), (n_stack + 1,)), ((bdim,), (n_stack,))),
-                preferred_element_type=jnp.float32,
-            )  # [nG, *batch, *stack, O]
-            sg = jnp.moveaxis(w.scale, -2, 0)  # [nG, *stack, O]
-            sg = sg.reshape(nG, *([1] * bdim), *w.q.shape[:-2], O)
-            y = jnp.sum(y * sg, axis=0)
+            sg = jnp.moveaxis(w.scale, -2, 0)  # [nG, *stack, Os]
+            sg = sg.reshape(nG, *([1] * bdim), *w.q.shape[:-2], Os)
+            ys = [
+                jnp.sum(
+                    jax.lax.dot_general(
+                        xg,
+                        h.astype(dt).reshape(*w.q.shape[:-2], nG, Gs, -1),
+                        (((bdim + 1,), (n_stack + 1,)), ((bdim,), (n_stack,))),
+                        preferred_element_type=jnp.float32,
+                    )  # [nG, *batch, *stack, Os]
+                    * sg,
+                    axis=0,
+                )
+                for h in halves
+            ]
         else:
-            y = jax.lax.dot_general(
-                xr, wq,
-                (((len(batch),), (n_stack,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [*batch, *stack, O]
-            y = y * w.scale  # scale [*stack, O] broadcasts over batch
+            ys = [
+                jax.lax.dot_general(
+                    xr, h.astype(dt),
+                    (((len(batch),), (n_stack,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [*batch, *stack, Os]
+                * w.scale  # [*stack, Os] broadcasts over batch
+                for h in halves
+            ]
+        y = ys[0] if len(ys) == 1 else _interleave_last(*ys)
         return y.reshape(*batch, *w.q.shape[:-2], *w.out_shape).astype(dt)
     return jnp.einsum(pattern, x, w)
 

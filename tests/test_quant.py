@@ -50,17 +50,18 @@ def test_qeinsum_matches_dequant(qdtype):
 
 
 def test_int4_pack_unpack_roundtrip():
-    """Packed-int4 storage: two signed nibbles per int8 byte along O, with
-    unpack() the exact bitcast inverse (VERDICT r2 next #3 — int4 weights
-    halve int8's HBM traffic; storage stays int8 to dodge the TPU-plugin
-    RecursionError on s4 jit args)."""
+    """Packed-int4 storage: two signed nibbles per int8 byte along O
+    (byte j = columns (2j, 2j+1) as (low, high) nibble), with unpack() the
+    exact pack inverse (VERDICT r2 next #3 — int4 weights halve int8's HBM
+    traffic; plain int8 shift arithmetic throughout: no s4 dtype (jit-arg
+    RecursionError) and no weight-side nibble interleave (3.3x slowdown))."""
     w = jax.random.normal(jax.random.PRNGKey(0), (32, 4, 16), jnp.float32)
     qt = quantize(w, (0,), jnp.int4)
     assert qt.packed and qt.q.dtype == jnp.int8
     assert qt.q.shape == (32, 32)  # [C, O//2] packed bytes
     u = qt.unpack()
-    assert u.shape == (32, 64) and u.dtype == jnp.int4
-    vals = np.asarray(u.astype(jnp.int8))
+    assert u.shape == (32, 64) and u.dtype == jnp.int8
+    vals = np.asarray(u)
     assert vals.min() >= -7 and vals.max() <= 7
     # unpack . pack is the identity on the quantized grid: requantizing the
     # dequantized weight reproduces the same packed bytes
@@ -78,7 +79,10 @@ def test_qeinsum_matches_dequant_int4_grouped(qdtype, group_size):
     x = jax.random.normal(jax.random.PRNGKey(1), (5, 32), jnp.float32)
     qt = quantize(w, (0,), qdtype, group_size=group_size)
     if group_size is not None:
-        assert qt.scale.shape == (32 // group_size, 64)
+        # packed int4 scales are PAIRED (one per byte column, [nG, O/2]);
+        # int8 keeps full per-channel resolution [nG, O].
+        o_sc = 32 if qt.packed else 64
+        assert qt.scale.shape == (32 // group_size, o_sc)
     got = qeinsum("bh,hnd->bnd", x, qt)
     want = jnp.einsum("bh,hnd->bnd", x, qt.dequant(jnp.float32))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -91,7 +95,7 @@ def test_int4_stacked_scan_slice():
     ws = jax.random.normal(jax.random.PRNGKey(2), (3, 32, 4, 16), jnp.float32)
     x = jax.random.normal(jax.random.PRNGKey(1), (5, 32), jnp.float32)
     qt = quantize(ws, (1,), jnp.int4, group_size=16)
-    assert qt.q.shape == (3, 32, 32) and qt.scale.shape == (3, 2, 64)
+    assert qt.q.shape == (3, 32, 32) and qt.scale.shape == (3, 2, 32)
     sl = jax.tree_util.tree_map(lambda a: a[1], qt)
     got = qeinsum("bh,hnd->bnd", x, sl)
     want = jnp.einsum("bh,hnd->bnd", x, sl.dequant(jnp.float32))
@@ -113,7 +117,11 @@ def test_int4_grouped_recovers_accuracy():
         quantize(w, (0,), jnp.int4).dequant(jnp.float32) - w)))
     err_g = float(jnp.mean(jnp.abs(
         quantize(w, (0,), jnp.int4, group_size=32).dequant(jnp.float32) - w)))
-    assert err_g < err_pc * 0.5, (err_g, err_pc)
+    # 0.7 (not 0.5): paired byte-column scales (quant/qtensor.py) trade a
+    # little amax resolution — amplified here by the deliberately
+    # heavy-tailed outliers — for a scale layout the matmul kernel can
+    # apply without any even/odd split; grouping must still clearly win.
+    assert err_g < err_pc * 0.7, (err_g, err_pc)
 
 
 def test_quantize_roundtrip_error_small():
@@ -194,3 +202,58 @@ def test_quantized_generation_end_to_end(qdtype, group_size):
     )
     for a, b in zip(out, out2):
         assert a.token_ids == b.token_ids
+
+
+# ---------------------------------------------------------------------------
+# Pallas packed-int4 matmul kernel (ops/qmatmul.py) — interpret mode on CPU
+
+
+@pytest.mark.parametrize("grouped", [None, 128], ids=["perchan", "g128"])
+def test_qmatmul_kernel_matches_dequant(grouped):
+    """The streaming int4 kernel == einsum on the dequantized weight, for
+    layer-stacked storage indexed by a traced layer id (the decoder scan's
+    access pattern) — per-pair-channel and C-grouped scales."""
+    from lite_llama_tpu.ops.qmatmul import (
+        qmm_supported,
+        quantized_matmul_packed,
+    )
+
+    L, C, O = 3, 256, 512
+    ws = jax.random.normal(jax.random.PRNGKey(0), (L, C, O), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (5, C), jnp.float32)
+    qt = quantize(ws, (1,), jnp.int4, group_size=grouped)
+    nG = qt.scale.shape[-2] if qt.grouped else None
+    assert qmm_supported(C, O // 2, nG, 5)
+    for l in (0, 2):
+        got = quantized_matmul_packed(
+            x, qt.q, qt.scale, jnp.asarray(l, jnp.int32),
+            interpret=True, out_dtype=jnp.float32,
+        )
+        sl = jax.tree_util.tree_map(lambda a, l=l: a[l], qt)
+        want = jnp.einsum("bc,co->bo", x, sl.dequant(jnp.float32))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3
+        )
+
+
+def test_qeinsum_layer_indexed_matches_sliced():
+    """qeinsum on a layer-indexed stacked QTensor (decoder scan form) ==
+    qeinsum on the sliced per-layer tensor, including an extra stack dim
+    (the gate_up [L, 2, H, I] shape)."""
+    import dataclasses
+
+    L, H, I = 3, 64, 96
+    ws = jax.random.normal(jax.random.PRNGKey(0), (L, 2, H, I), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (5, H), jnp.float32)
+    qt = quantize(ws, (2,), jnp.int4, group_size=32)
+
+    def run(li):
+        layered = dataclasses.replace(qt, layer=li)
+        return qeinsum("bh,chi->bci", x, layered)
+
+    got = jax.jit(run)(jnp.asarray(1, jnp.int32))
+    sl = jax.tree_util.tree_map(lambda a: a[1], qt)
+    want = qeinsum("bh,chi->bci", x, sl)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
