@@ -466,15 +466,22 @@ def paged_flash_decode(
     )(layer_arr, page_table, kv_lens, buf_idx0, init0, q_in, kv_pages,
       *extra_inputs)
     if wide:
-        # Pick each row's own head segment out of the [Nq, Hkv*D] output
-        # (plain XLA — arbitrary reshapes are fine outside the kernel).
-        idx = jnp.broadcast_to(
-            (jnp.arange(Nq, dtype=jnp.int32) // G)[None, :, None, None],
-            (B, Nq, 1, D),
+        # Pick each row's own head segment out of the [Nq, Hkv*D] output.
+        # The selection is STATIC (row n owns head n//G), so use a masked
+        # sum — jnp.take_along_axis here lowered to a scalar-loop "custom
+        # fusion" gather that profiled at 468 us/layer (vs ~1 us for the
+        # whole decode step's elementwise work), completely burying the
+        # int8-KV kernel's bandwidth win.
+        sel = (
+            jnp.arange(Nq, dtype=jnp.int32)[:, None] // G
+            == jnp.arange(Hkv, dtype=jnp.int32)[None, :]
+        )  # [Nq, Hkv] one-hot, static
+        out = jnp.sum(
+            jnp.where(
+                sel[None, :, :, None], out.reshape(B, Nq, Hkv, D), 0
+            ),
+            axis=2,
         )
-        out = jnp.take_along_axis(
-            out.reshape(B, Nq, Hkv, D), idx, axis=2
-        )[:, :, 0]
     if k_new is None:
         return out
     # Exact LSE combine with the virtual newest token (exp2 domain, scales

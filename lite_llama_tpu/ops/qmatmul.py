@@ -1,34 +1,56 @@
-"""Packed-INT4 weight matmul — Pallas TPU kernel.
+"""Packed-INT4 weight matmul — Pallas TPU kernel (W4A8: int8 MXU dots).
 
 Decode is weight-bandwidth-bound, so int4 weights are the single biggest
 single-chip lever (half of int8's traffic; the reference's only
 quantization artifact is a dead GPTQ skeleton,
 /root/reference/lite_llama/kernels/others/fused_linear.py:95, which never
-dequantizes). XLA cannot be trusted with the unpack: the measured A/B on
-v5e showed the shift+cast chain materializing the unpacked halves in HBM,
-leaving int4 SLOWER than int8 end-to-end (9.5 vs 7.2 ms/step). This kernel
-streams the PACKED bytes only:
+dequantizes). Two measured dead ends shaped this design:
 
-- Weights stay layer-STACKED in HBM (``[Lf, C, O/2]`` int8, two nibbles per
-  byte along the output axis); the layer index rides in scalar-prefetch SMEM
-  and selects the block row in the BlockSpec index map — no per-layer
-  dynamic-slice copy under the decoder's ``lax.scan`` (a pallas operand
-  sliced per layer would force XLA to materialize a full-weight copy every
-  step, tripling traffic).
+- XLA cannot be trusted with the unpack: the shift+cast chain materializes
+  the unpacked halves in HBM, leaving int4 SLOWER than int8 end-to-end
+  (9.5 vs 7.2 ms/step on v5e).
+- A Pallas kernel that unpacks nibbles to bf16 in VMEM and runs bf16 dots
+  is NOT bandwidth-bound either: with decode-sized M (≈12 rows), the MXU
+  ingests each weight tile padded to 128 rows, and TWO bf16 half-dots plus
+  the per-byte VPU unpack capped the packed stream at ~250 GB/s (~2 ms for
+  the 197 MB lm_head; profiled ~5.5 ms of a 6.9 ms decode step in these
+  matmuls).
+
+So the weight bytes must go MXU-direct, never touching the VPU: quantize
+the activations to int8 per row (W4A8) and run int8xint8->int32 MXU dots
+(native on v5e, 2x bf16 rate) on the RAW packed bytes:
+
+- Encoding (quant/qtensor.py): byte = 16*hi + (lo + 8) with hi, lo in
+  [-7, 7] — the low nibble stored with a +8 bias so it is a plain unsigned
+  field. Then for activation row x:
+      g0 = dot_i8(x, b)         (raw bytes — ZERO weight-side VPU work)
+      g1 = dot_i8(x, b & 15)    (one AND per byte, the only VPU touch)
+      dot(x, hi) = (g0 - g1) / 16          (exact integer multiple)
+      dot(x, lo) = g1 - 8*sum(x)           (bias is constant per C-group)
+  The -8*sum(x) correction is per (row, scale-group) — a tiny [M, nG] x
+  [nG, Oh] matmul applied OUTSIDE the kernel (at HIGHEST precision: TPU
+  f32 dots default to bf16 inputs, which re-introduced ~1% error when
+  probed).
+- Weights stay layer-STACKED in HBM (``[Lf, C, O/2]`` int8); the layer
+  index rides in scalar-prefetch SMEM and selects the block row in the
+  BlockSpec index map — no per-layer dynamic-slice copy under the
+  decoder's ``lax.scan``.
 - Grid ``(nM, nO, nC)`` with C innermost; fp32 accumulators live in VMEM
-  scratch across the C sweep (the standard Pallas matmul accumulation
-  pattern), double-buffered operand DMA comes free from the grid pipeline.
-- In-VMEM unpack: low nibble = ``(b << 4) >> 4`` (arithmetic), high =
-  ``b >> 4`` — two int8 shift ops feeding the MXU as bf16 casts. The two
-  nibble halves are the EVEN and ODD output columns; the kernel emits them
-  as separate [M, O/2] outputs and the (tiny) interleave to canonical
-  column order happens on the activations in XLA — the weight itself is
+  scratch across the C sweep; double-buffered operand DMA comes free from
+  the grid pipeline.
+- The two nibble halves are the EVEN and ODD output columns; the kernel
+  emits them as separate [M, O/2] outputs and the (tiny) interleave to
+  canonical column order happens on the results in XLA — the weight is
   never interleaved (a cross-lane nibble shuffle; measured 3.3x slower).
 - Scales are PAIRED per byte column (``[Lf, O/2]`` or C-grouped
   ``[Lf, nG, O/2]``, quant/qtensor.py): one scale row multiplies both
-  halves' partial dots, applied per C-group inside the accumulation loop —
-  grouped scales cost ``nG`` extra [M, BO/2] VPU multiplies, nothing on the
-  DMA path.
+  halves' partial dots (the odd row carrying the deferred /16), applied
+  per C-group inside the accumulation loop.
+
+Numerics: this path is W4A8 — activations are per-row symmetrically
+quantized to int8 (dynamic, exact-integer kernel after that). The XLA
+dual-dot fallback (CPU, tp>1) stays W4A16. Model-level accuracy of the
+per-row activation quantization is covered by tests/test_quant.py.
 """
 
 from __future__ import annotations
@@ -48,6 +70,24 @@ def _pick_block(n: int, candidates=(512, 256, 128)) -> int | None:
     return None
 
 
+def _pick_bc(C: int, n_groups: int | None) -> int | None:
+    """Contraction block size. Mosaic requires the scale block's
+    second-to-last dim (GB = BC/group_size) to be a multiple of 8 OR the
+    whole group axis — so grouped scales take BC = 8*gs when it divides C,
+    else the whole C as one block (still pipelined over the nO grid dim;
+    capped so the int8 weight tile stays ≤ ~2 MB of VMEM)."""
+    if n_groups is None or n_groups == 1:
+        return _pick_block(C)
+    gs = C // n_groups
+    if gs == 0 or C % gs != 0:
+        return None
+    if C % (8 * gs) == 0:
+        return 8 * gs
+    if C <= 4096:
+        return C  # GB == nG: "equal to the full dim" is always legal
+    return None
+
+
 def qmm_supported(C: int, Oh: int, n_groups: int | None, M: int) -> bool:
     """Shapes the kernel handles; callers fall back to the XLA dual-dot
     path otherwise. M is capped because the kernel streams the full weight
@@ -55,29 +95,39 @@ def qmm_supported(C: int, Oh: int, n_groups: int | None, M: int) -> bool:
     wide prefill matmuls are compute-bound and fine in XLA."""
     if M > 256:
         return False
-    BC = _pick_block(C)
-    if BC is None:
+    if _pick_bc(C, n_groups) is None:
         return False
-    if n_groups is not None:
-        gs = C // n_groups
-        if gs == 0 or BC % gs != 0:
-            return False
     return Oh % 128 == 0
+
+
+def quantize_activations(x: jax.Array, n_groups: int):
+    """Per-row symmetric int8 activation quantization (the A8 in W4A8).
+
+    Returns (x_i8 [M, C], x_scale f32 [M], sumx f32 [M, n_groups]) where
+    sumx[m, g] is the integer sum of row m over scale group g — the
+    constant needed to undo the +8 low-nibble storage bias."""
+    M, C = x.shape
+    xf = x.astype(jnp.float32)
+    xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=1), 1e-30) / 127.0
+    xi = jnp.clip(jnp.round(xf / xs[:, None]), -127, 127).astype(jnp.int8)
+    sumx = jnp.sum(
+        xi.reshape(M, n_groups, C // n_groups).astype(jnp.int32), axis=2
+    ).astype(jnp.float32)
+    return xi, xs, sumx
 
 
 def _qmm_kernel(
     layer_ref,  # [1] int32 scalar prefetch: flat layer index
-    x_ref,  # [BM, BC] VMEM
+    x_ref,  # [BM, BC] VMEM int8
     w_ref,  # [1, BC, BOh] VMEM (packed bytes)
-    s_ref,  # [1, GB, BOh] (grouped) or [1, BOh] (per-pair-channel) f32
-    oe_ref,  # [BM, BOh] out: even output columns
+    s_ref,  # [1, GB, BOh] f32 (GB=1 with a constant block: per-channel)
+    oe_ref,  # [BM, BOh] out: even output columns (biased — see wrapper)
     oo_ref,  # [BM, BOh] out: odd output columns
     acc_e,  # [BM, BOh] f32 scratch
     acc_o,
     *,
     nC: int,
     GB: int,  # scale groups per C block (1 when per-channel)
-    mat_dtype,
 ):
     c = pl.program_id(2)
 
@@ -86,34 +136,29 @@ def _qmm_kernel(
         acc_e[...] = jnp.zeros_like(acc_e)
         acc_o[...] = jnp.zeros_like(acc_o)
 
-    # Nibble unpack in int32: Mosaic has no i8 vector shifts (arith.shli on
-    # vector<i8> fails to legalize on v5e); the VPU lanes are 32-bit anyway,
-    # so the i32 cast is the native form. Sign-extension first makes
-    # (b << 28) >> 28 the signed low nibble and b >> 4 the signed high one.
-    w32 = w_ref[0].astype(jnp.int32)  # [BC, BOh]
-    lo = jax.lax.shift_right_arithmetic(
-        jax.lax.shift_left(w32, jnp.int32(28)), jnp.int32(28)
-    ).astype(mat_dtype)
-    hi = jax.lax.shift_right_arithmetic(w32, jnp.int32(4)).astype(mat_dtype)
-    x = x_ref[...].astype(mat_dtype)  # [BM, BC]
+    b = w_ref[0]  # [BC, BOh] int8 raw packed bytes
+    lo_enc = b & jnp.int8(15)  # biased low nibble, 0..15 (AND is the only
+    # i8 vector op Mosaic legalizes on v5e — probed: shifts/adds crash)
+    x = x_ref[...]  # [BM, BC] int8
     Gs = x.shape[1] // GB
     for g in range(GB):  # static unroll; GB = BC/group_size (or 1)
         xg = x[:, g * Gs : (g + 1) * Gs]
-        sg = (s_ref[0, g] if s_ref.ndim == 3 else s_ref[0])[None, :]
-        pe = jax.lax.dot_general(
-            xg, lo[g * Gs : (g + 1) * Gs],
+        sg = s_ref[0, g][None, :]
+        g0 = jax.lax.dot_general(
+            xg, b[g * Gs : (g + 1) * Gs],
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.int32,
         )
-        po = jax.lax.dot_general(
-            xg, hi[g * Gs : (g + 1) * Gs],
+        g1 = jax.lax.dot_general(
+            xg, lo_enc[g * Gs : (g + 1) * Gs],
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.int32,
         )
-        # Exact: the scale is constant within the group's contraction slice,
-        # so scaling each group's partial sum == scaling the total.
-        acc_e[...] += pe * sg
-        acc_o[...] += po * sg
+        # Exact: the scale is constant within the group's contraction
+        # slice. g1 still carries the +8 bias (removed by the wrapper);
+        # (g0 - g1) = 16 * dot(x, hi), the /16 rides the odd scale row.
+        acc_e[...] += g1.astype(jnp.float32) * sg
+        acc_o[...] += (g0 - g1).astype(jnp.float32) * (sg * 0.0625)
 
     @pl.when(c == nC - 1)
     def _():
@@ -123,7 +168,7 @@ def _qmm_kernel(
 
 @functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
 def quantized_matmul_packed(
-    x: jax.Array,  # [M, C] bf16/f32
+    x: jax.Array,  # [M, C] bf16/f32 activations
     q: jax.Array,  # [Lf, C, Oh] int8 (packed nibble pairs along O)
     scale: jax.Array,  # [Lf, Oh] or [Lf, nG, Oh] f32 (paired scales)
     layer: jax.Array | int,  # flat layer index into Lf
@@ -131,27 +176,34 @@ def quantized_matmul_packed(
     out_dtype=None,
 ) -> jax.Array:
     """Returns [M, 2*Oh] in canonical output-column order (dtype
-    ``out_dtype`` or x's — the fp32 accumulators cast once, so fp32 output
-    keeps full accumulation precision for logits)."""
+    ``out_dtype`` or x's). W4A8: quantizes x per row to int8, runs the
+    exact-integer kernel, applies the -8*sum(x) bias correction and the
+    activation scale on the way out (fp32 end to end after the dots)."""
     out_dtype = out_dtype or x.dtype
     M, C = x.shape
     Lf, _, Oh = q.shape
-    grouped = scale.ndim == 3
-    BC = _pick_block(C)
+    if scale.ndim == 2:  # per-pair-channel -> degenerate single group
+        scale = scale[:, None, :]
+    nG = scale.shape[1]
+    BC = _pick_bc(C, nG)
     BOh = _pick_block(Oh, (512, 256, 128))
     if BOh is None:
         BOh = 128  # Oh % 128 == 0 is guaranteed by qmm_supported
     nC, nO = C // BC, Oh // BOh
-    GB = (BC * scale.shape[1]) // C if grouped else 1
-    mat_dtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
+    # Scale-block rows per C block: nG==1 means one row serves every C
+    # block (per-channel scales are C-independent); otherwise GB = BC/gs,
+    # legal by construction (_pick_bc: multiple of 8, or the full axis).
+    GB = 1 if nG == 1 else (BC * nG) // C
+
+    xi, xs, sumx = quantize_activations(x, nG)
 
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
-    if grouped:
+    if nG == 1:
+        s_spec = pl.BlockSpec((1, 1, BOh), lambda m, o, c, l: (l[0], 0, o))
+    else:
         s_spec = pl.BlockSpec(
             (1, GB, BOh), lambda m, o, c, l: (l[0], c, o)
         )
-    else:
-        s_spec = pl.BlockSpec((1, BOh), lambda m, o, c, l: (l[0], o))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1, nO, nC),  # M <= 256 rides one tile (qmm_supported)
@@ -169,20 +221,31 @@ def quantized_matmul_packed(
             pltpu.VMEM((M, BOh), jnp.float32),
         ],
     )
-    kernel = functools.partial(
-        _qmm_kernel, nC=nC, GB=GB, mat_dtype=mat_dtype
-    )
+    kernel = functools.partial(_qmm_kernel, nC=nC, GB=GB)
     ye, yo = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((M, Oh), out_dtype),
-            jax.ShapeDtypeStruct((M, Oh), out_dtype),
+            jax.ShapeDtypeStruct((M, Oh), jnp.float32),
+            jax.ShapeDtypeStruct((M, Oh), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(layer_arr, x, q, scale)
-    # Canonical column order: even/odd interleave on the small result.
-    return jnp.stack([ye, yo], axis=-1).reshape(M, 2 * Oh)
+    )(layer_arr, xi, q, scale)
+    # Undo the +8 low-nibble storage bias: a per-(row, group) constant, so
+    # a tiny [M, nG] x [nG, Oh] dot. HIGHEST precision — the TPU default
+    # truncates f32 dot inputs to bf16, which measurably corrupts the
+    # cancellation (the biased term is ~8x the signal).
+    sl = jax.lax.dynamic_index_in_dim(scale, layer_arr[0], 0, keepdims=False)
+    ye = ye - 8.0 * jax.lax.dot_general(
+        sumx, sl.reshape(nG, Oh),
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    # Canonical column order: even/odd interleave on the small result,
+    # then the per-row activation scale.
+    y = jnp.stack([ye, yo], axis=-1).reshape(M, 2 * Oh)
+    return (y * xs[:, None]).astype(out_dtype)

@@ -57,22 +57,24 @@ class QTensor:
     intact.
 
     ``packed=True`` (INT4): ``q`` is int8 ``[*stack, C, O//2]`` holding two
-    signed nibbles per byte along the OUTPUT axis — byte j packs output
-    columns (2j, 2j+1) as (low, high) nibble. Adjacent-pair order keeps
-    byte-axis slicing semantics trivial (a byte slice [a, b) IS the output
-    slice [2a, 2b) — what fuse_qkv_params and the tp shardings rely on).
-    Everything is plain int8 arithmetic: pack = shift/or, unpack =
-    shift-left + arithmetic-shift-right. The s4 dtype appears NOWHERE —
-    s4 jit args trip a TPU-plugin RecursionError (probed, round 2), and the
-    earlier in-jit ``bitcast_convert_type``+nibble-interleave-reshape unpack
-    measured 3.3x slower per scanned layer than int8 (the [C, O//2, 2] ->
-    [C, O] reshape is a cross-lane nibble shuffle). The HOT path never
-    interleaves the weight at all: qeinsum runs TWO dots on the shifted
-    nibble halves (even / odd output columns) and interleaves the tiny
-    [B, O/2] OUTPUTS instead. Weight HBM traffic is then a QUARTER of bf16 —
-    decode is weight-bandwidth-bound (docs/performance_optimization.md),
-    making int4 the biggest remaining single-chip lever (VERDICT r2 next
-    #3)."""
+    nibbles per byte along the OUTPUT axis — byte j packs output columns
+    (2j, 2j+1) as ``16*hi + (lo + 8)``: hi (col 2j+1) a signed high nibble,
+    lo (col 2j) stored with a +8 bias as an unsigned low field. The bias is
+    what lets the Pallas W4A8 kernel (ops/qmatmul.py) feed the RAW bytes to
+    int8 MXU dots and undo the bias as a per-group constant — zero per-byte
+    VPU work on the weight stream. Adjacent-pair order keeps byte-axis
+    slicing semantics trivial (a byte slice [a, b) IS the output slice
+    [2a, 2b) — what fuse_qkv_params and the tp shardings rely on). The s4
+    dtype appears NOWHERE — s4 jit args trip a TPU-plugin RecursionError
+    (probed, round 2), and the earlier in-jit ``bitcast_convert_type``+
+    nibble-interleave-reshape unpack measured 3.3x slower per scanned layer
+    than int8 (the [C, O//2, 2] -> [C, O] reshape is a cross-lane nibble
+    shuffle). The XLA fallback path never interleaves the weight either:
+    qeinsum runs TWO dots on the decoded nibble halves (even / odd output
+    columns) and interleaves the tiny [B, O/2] OUTPUTS instead. Weight HBM
+    traffic is then a QUARTER of bf16 — decode is weight-bandwidth-bound
+    (docs/performance_optimization.md), making int4 the biggest remaining
+    single-chip lever (VERDICT r2 next #3)."""
 
     q: jax.Array
     scale: jax.Array
@@ -108,12 +110,13 @@ class QTensor:
 
     def unpack_halves(self):
         """(even, odd) int8 nibble halves ``[*stack, C, O//2]`` — even[j] is
-        output column 2j, odd[j] is 2j+1. Pure shifts; no s4, no interleave
-        (the hot qeinsum path consumes the halves directly)."""
+        output column 2j, odd[j] is 2j+1. The byte is ``16*hi + (lo + 8)``
+        (low nibble stored with a +8 bias so it is a plain unsigned field —
+        what lets the Pallas W4A8 kernel dot the RAW bytes, ops/qmatmul.py);
+        no s4, no interleave (the hot qeinsum path consumes the halves
+        directly)."""
         b = self.q
-        even = jax.lax.shift_right_arithmetic(
-            jax.lax.shift_left(b, jnp.int8(4)), jnp.int8(4)
-        )
+        even = (b & jnp.int8(15)) - jnp.int8(8)
         odd = jax.lax.shift_right_arithmetic(b, jnp.int8(4))
         return even, odd
 
@@ -143,6 +146,12 @@ class QTensor:
             )
         else:
             w = w * self.scale[..., None, :]
+        C = w.shape[-2]
+        O_logical = 1
+        for d in self.unit_shape:
+            O_logical *= d
+        O_logical //= C
+        w = w[..., :O_logical]  # drop lane-alignment padding (quantize())
         return w.reshape(*w.shape[:-2], *self.unit_shape).astype(dtype)
 
 
@@ -184,6 +193,16 @@ def quantize(
     w2 = w.reshape(*stack, C, O)
     if jnp.dtype(qdtype) == jnp.dtype(jnp.int4):
         assert O % 2 == 0, f"int4 packing needs an even output width, got {O}"
+        if O >= 8192 and (O // 2) % 512:
+            # Pad wide, oddly-sized output axes (the 128256-wide llama
+            # vocab) so the packed width is 512-lane aligned: the Pallas
+            # kernel's BOh falls from 512 to 128 otherwise, turning the
+            # weight stream into 128-byte strided DMA (lm_head profiled
+            # 711 us vs ~150 us at SOL). Consumers slice outputs back to
+            # the logical width (storage width != prod(out_shape) marks a
+            # padded tensor — no extra field needed).
+            O_pad = -(-O // 1024) * 1024
+            w2 = jnp.pad(w2, [(0, 0)] * (w2.ndim - 1) + [(0, O_pad - O)])
     if group_size is not None:
         assert C % group_size == 0, (C, group_size)
     # The fp32 math runs JITTED and per-stack-slice: quantizing a stacked 3B
@@ -229,10 +248,12 @@ def _quantize_2d_stacked(w2, qdtype_name: str, stacked: bool, group_size):
             scale = jnp.maximum(amax2, 1e-8) / 7.0
             sfull = jnp.repeat(scale, 2, axis=-1)
             q4 = jnp.clip(jnp.round(wf / sfull), -7, 7).astype(jnp.int8)
-            # Pack adjacent output pairs: byte j = (col 2j+1) << 4 | (col 2j
-            # & 0xF). Plain int8 shift/or — the inverse of unpack_halves.
+            # Pack adjacent output pairs: byte j = 16*(col 2j+1) + (col 2j
+            # + 8) — the low nibble carries a +8 bias so it is an unsigned
+            # field, which lets the W4A8 kernel (ops/qmatmul.py) run int8
+            # MXU dots on the raw bytes and undo the bias as a constant.
             q4 = q4.reshape(C, O // 2, 2)
-            q = ((q4[..., 1] << 4) | (q4[..., 0] & 0xF)).astype(jnp.int8)
+            q = ((q4[..., 1] << 4) | (q4[..., 0] + 8)).astype(jnp.int8)
         else:  # fp8 e4m3: max finite 448
             scale = jnp.maximum(amax, 1e-8) / 448.0
             q = (wf / scale).astype(jnp.float8_e4m3fn)
@@ -284,10 +305,13 @@ def _qeinsum_layered(
     ):
         qf = w.q.reshape(-1, C, Os)
         sf = w.scale.reshape(-1, *w.scale.shape[1 + len(rest):])
+        O_logical = 1
+        for d in w.out_shape:
+            O_logical *= d
         outs = [
             _qmm.quantized_matmul_packed(
                 xr, qf, sf, w.layer * n_rest + j, out_dtype=dt
-            )
+            )[:, :O_logical]  # drop lane-alignment padding (quantize())
             for j in range(n_rest)
         ]
         y = outs[0] if not rest else jnp.stack(outs, axis=1)
@@ -390,6 +414,10 @@ def qeinsum(
                 for h in halves
             ]
         y = ys[0] if len(ys) == 1 else _interleave_last(*ys)
+        O_logical = 1
+        for d in w.out_shape:
+            O_logical *= d
+        y = y[..., :O_logical]  # drop lane-alignment padding (quantize())
         return y.reshape(*batch, *w.q.shape[:-2], *w.out_shape).astype(dt)
     return jnp.einsum(pattern, x, w)
 
@@ -429,6 +457,20 @@ def quantize_decoder_params(
     if "lm_head" in params:
         w = params.pop("lm_head") if drop_originals else params["lm_head"]
         out["lm_head"] = quantize(w, (0,), qdtype, group_size=group_size)
+    elif "embed" in params and not (
+        qdtype == jnp.int4 and params["embed"].shape[0] % 2
+    ):
+        # Tied embeddings (llama-3.2): materialize a QUANTIZED head from the
+        # embedding table. Without this, every decode step's unembed reads
+        # the full bf16 table (788 MB for 3B — profiled at ~1.04 ms/step,
+        # a quarter of the whole step); the packed head reads 98 MB through
+        # the W4A8 kernel instead. The bf16 table stays for input gathers
+        # (gathers touch B rows, not the matrix). Odd-vocab int4 (unpaddable
+        # packing) keeps the dense tied unembed.
+        out["lm_head"] = quantize(
+            jnp.transpose(params["embed"]), (0,), qdtype,
+            group_size=group_size,
+        )
     return out
 
 

@@ -210,11 +210,14 @@ def test_quantized_generation_end_to_end(qdtype, group_size):
 
 @pytest.mark.parametrize("grouped", [None, 128], ids=["perchan", "g128"])
 def test_qmatmul_kernel_matches_dequant(grouped):
-    """The streaming int4 kernel == einsum on the dequantized weight, for
-    layer-stacked storage indexed by a traced layer id (the decoder scan's
-    access pattern) — per-pair-channel and C-grouped scales."""
+    """The W4A8 streaming int4 kernel == einsum of the int8-quantized
+    activations against the dequantized weight (the kernel is EXACT integer
+    math after activation quantization), for layer-stacked storage indexed
+    by a traced layer id (the decoder scan's access pattern) —
+    per-pair-channel and C-grouped scales."""
     from lite_llama_tpu.ops.qmatmul import (
         qmm_supported,
+        quantize_activations,
         quantized_matmul_packed,
     )
 
@@ -224,16 +227,25 @@ def test_qmatmul_kernel_matches_dequant(grouped):
     qt = quantize(ws, (1,), jnp.int4, group_size=grouped)
     nG = qt.scale.shape[-2] if qt.grouped else None
     assert qmm_supported(C, O // 2, nG, 5)
+    xi, xs, _ = quantize_activations(x, nG or 1)
     for l in (0, 2):
         got = quantized_matmul_packed(
             x, qt.q, qt.scale, jnp.asarray(l, jnp.int32),
             interpret=True, out_dtype=jnp.float32,
         )
         sl = jax.tree_util.tree_map(lambda a, l=l: a[l], qt)
-        want = jnp.einsum("bc,co->bo", x, sl.dequant(jnp.float32))
+        want = jnp.einsum(
+            "bc,co->bo", xi.astype(jnp.float32), sl.dequant(jnp.float32)
+        ) * xs[:, None]
         np.testing.assert_allclose(
-            np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
         )
+        # and the A8 step itself stays close to the full-precision product
+        full = jnp.einsum("bc,co->bo", x, sl.dequant(jnp.float32))
+        rel = float(
+            jnp.max(jnp.abs(got - full)) / jnp.max(jnp.abs(full))
+        )
+        assert rel < 0.02, rel
 
 
 def test_qeinsum_layer_indexed_matches_sliced():
@@ -257,3 +269,38 @@ def test_qeinsum_layer_indexed_matches_sliced():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
     )
+
+
+def test_int4_padded_wide_output():
+    """Wide, 512-misaligned output axes (the 128256 llama vocab) pad their
+    packed storage to a 1024 multiple for lane-aligned kernel DMA; every
+    consumer (dequant, qeinsum XLA path, the kernel itself) slices back to
+    the logical width."""
+    from lite_llama_tpu.ops.qmatmul import (
+        quantize_activations, quantized_matmul_packed,
+    )
+
+    C, O = 256, 8448  # O/2 = 4224, not 512-aligned -> pads to 9216
+    w = jax.random.normal(jax.random.PRNGKey(0), (C, O), jnp.float32)
+    qt = quantize(w, (0,), jnp.int4, group_size=128)
+    assert qt.q.shape == (C, 9216 // 2) and qt.out_shape == (O,)
+    dq = qt.dequant(jnp.float32)
+    assert dq.shape == (C, O)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, C), jnp.float32)
+    got = qeinsum("bc,co->bo", x, qt)
+    assert got.shape == (3, O)
+    want = jnp.einsum("bc,co->bo", x, dq)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    # the kernel path sees the padded storage and zero-fills the pad cols
+    xi, xs, _ = quantize_activations(x, qt.scale.shape[-2])
+    yk = quantized_matmul_packed(
+        x, qt.q[None], qt.scale[None], jnp.asarray(0, jnp.int32),
+        interpret=True, out_dtype=jnp.float32,
+    )
+    assert yk.shape == (3, 9216)
+    wantk = jnp.einsum(
+        "bc,co->bo", xi.astype(jnp.float32), dq) * xs[:, None]
+    np.testing.assert_allclose(np.asarray(yk[:, :O]), np.asarray(wantk),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(yk[:, O:]), 0.0, atol=1e-4)
