@@ -11,8 +11,8 @@ per-token jit, host sampling), the on-chip comparison BASELINE.md's
 ``vs_dense_scan`` (a COMPETENT dense-KV port: scanned on-device decode,
 donated buffers, no paging/kernels) is the honest architecture-to-
 architecture ratio and the one to quote first. ``detail`` carries the
-INT8-weight, INT8-KV, naive and dense-scan rows so one driver run captures
-the whole matrix.
+INT8-weight (W8A8), INT4-weight (W4A8), INT8-KV, combined int4+int8-KV,
+naive and dense-scan rows so one driver run captures the whole matrix.
 
 Weights are randomly initialized (zero-egress environment — no checkpoint
 downloads); throughput is architecture- and shape-faithful, which is what the
@@ -360,6 +360,9 @@ def _run_extras_rows(enabled, cfg, result, prompts, bs, prompt_len, gen_len,
         ("int8_weights", jnp.int8, False),
         ("int4_weights", jnp.int4, False),
         ("int8_kv", None, True),
+        # best combined single-chip config: W4A8 weights + score-domain
+        # int8-KV decode (the two bandwidth levers together)
+        ("int4_int8kv", jnp.int4, True),
     ):
         try:
             params = fresh()

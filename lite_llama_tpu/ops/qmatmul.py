@@ -116,6 +116,96 @@ def quantize_activations(x: jax.Array, n_groups: int):
     return xi, xs, sumx
 
 
+def _qmm8_kernel(
+    layer_ref,  # [1] int32 scalar prefetch: flat layer index
+    x_ref,  # [BM, BC] VMEM int8
+    w_ref,  # [1, BC, BO] VMEM int8 (plain signed weights)
+    s_ref,  # [1, GB, BO] f32
+    o_ref,  # [BM, BO] out
+    acc,  # [BM, BO] f32 scratch
+    *,
+    nC: int,
+    GB: int,
+):
+    """W8A8: one raw int8 MXU dot per group — no nibbles, no bias."""
+    c = pl.program_id(2)
+
+    @pl.when(c == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    wq = w_ref[0]
+    x = x_ref[...]
+    Gs = x.shape[1] // GB
+    for g in range(GB):
+        xg = x[:, g * Gs : (g + 1) * Gs]
+        sg = s_ref[0, g][None, :]
+        gd = jax.lax.dot_general(
+            xg, wq[g * Gs : (g + 1) * Gs],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc[...] += gd.astype(jnp.float32) * sg
+
+    @pl.when(c == nC - 1)
+    def _():
+        o_ref[...] = acc[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+def quantized_matmul_int8(
+    x: jax.Array,  # [M, C] bf16/f32 activations
+    q: jax.Array,  # [Lf, C, O] int8
+    scale: jax.Array,  # [Lf, O] or [Lf, nG, O] f32
+    layer: jax.Array | int,
+    interpret: bool = False,
+    out_dtype=None,
+) -> jax.Array:
+    """W8A8 layered int8 matmul: per-row int8 activations against the raw
+    int8 weight bytes on the MXU (2x bf16 rate, zero weight-side VPU work).
+    Same layer-stacked scalar-prefetch streaming as the int4 kernel; the
+    XLA dequantizing-dot path (CPU, tp>1) stays W8A16."""
+    out_dtype = out_dtype or x.dtype
+    M, C = x.shape
+    Lf, _, O = q.shape
+    if scale.ndim == 2:
+        scale = scale[:, None, :]
+    nG = scale.shape[1]
+    BC = _pick_bc(C, nG)
+    BO = _pick_block(O, (512, 256, 128)) or 128
+    nC, nO = C // BC, O // BO
+    GB = 1 if nG == 1 else (BC * nG) // C
+
+    xi, xs, _ = quantize_activations(x, nG)
+
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+    if nG == 1:
+        s_spec = pl.BlockSpec((1, 1, BO), lambda m, o, c, l: (l[0], 0, o))
+    else:
+        s_spec = pl.BlockSpec((1, GB, BO), lambda m, o, c, l: (l[0], c, o))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1, nO, nC),
+        in_specs=[
+            pl.BlockSpec((M, BC), lambda m, o, c, l: (m, c)),
+            pl.BlockSpec((1, BC, BO), lambda m, o, c, l: (l[0], c, o)),
+            s_spec,
+        ],
+        out_specs=[pl.BlockSpec((M, BO), lambda m, o, c, l: (m, o))],
+        scratch_shapes=[pltpu.VMEM((M, BO), jnp.float32)],
+    )
+    (y,) = pl.pallas_call(
+        functools.partial(_qmm8_kernel, nC=nC, GB=GB),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((M, O), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(layer_arr, xi, q, scale)
+    return (y * xs[:, None]).astype(out_dtype)
+
+
 def _qmm_kernel(
     layer_ref,  # [1] int32 scalar prefetch: flat layer index
     x_ref,  # [BM, BC] VMEM int8

@@ -299,7 +299,7 @@ def _qeinsum_layered(
     nG = w.scale.shape[-2] if w.grouped else None
     if (
         allow_kernel
-        and w.packed
+        and (w.packed or w.q.dtype == jnp.int8)
         and _ops._use_pallas()
         and _qmm.qmm_supported(C, Os, nG, M)
     ):
@@ -308,8 +308,12 @@ def _qeinsum_layered(
         O_logical = 1
         for d in w.out_shape:
             O_logical *= d
+        kern = (
+            _qmm.quantized_matmul_packed if w.packed
+            else _qmm.quantized_matmul_int8  # plain int8 -> W8A8 raw dot
+        )
         outs = [
-            _qmm.quantized_matmul_packed(
+            kern(
                 xr, qf, sf, w.layer * n_rest + j, out_dtype=dt
             )[:, :O_logical]  # drop lane-alignment padding (quantize())
             for j in range(n_rest)

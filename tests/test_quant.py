@@ -304,3 +304,35 @@ def test_int4_padded_wide_output():
     np.testing.assert_allclose(np.asarray(yk[:, :O]), np.asarray(wantk),
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(yk[:, O:]), 0.0, atol=1e-4)
+
+
+@pytest.mark.parametrize("grouped", [None, 64], ids=["perchan", "g64"])
+def test_qmatmul_int8_kernel_matches(grouped):
+    """The W8A8 int8 kernel == einsum of int8-quantized activations against
+    the dequantized weight (exact integer math after activation quant)."""
+    from lite_llama_tpu.ops.qmatmul import (
+        qmm_supported,
+        quantize_activations,
+        quantized_matmul_int8,
+    )
+
+    L, C, O = 3, 256, 512
+    ws = jax.random.normal(jax.random.PRNGKey(0), (L, C, O), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (5, C), jnp.float32)
+    qt = quantize(ws, (1,), jnp.int8, group_size=grouped)
+    assert not qt.packed
+    nG = qt.scale.shape[-2] if qt.grouped else None
+    assert qmm_supported(C, O, nG, 5)
+    xi, xs, _ = quantize_activations(x, nG or 1)
+    for l in (0, 2):
+        got = quantized_matmul_int8(
+            x, qt.q, qt.scale, jnp.asarray(l, jnp.int32),
+            interpret=True, out_dtype=jnp.float32,
+        )
+        sl = jax.tree_util.tree_map(lambda a, l=l: a[l], qt)
+        want = jnp.einsum(
+            "bc,co->bo", xi.astype(jnp.float32), sl.dequant(jnp.float32)
+        ) * xs[:, None]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+        )
