@@ -338,17 +338,23 @@ class InferenceEngine:
             return jax.random.fold_in(key, jax.lax.axis_index("dp"))
         return key
 
-    def _group_layout(self, slots):
+    def _group_layout(self, slots, min_width: int = 1):
         """Lay a batch of engine slots out as [dp, W] row blocks (flattened
         to dp*W): rows [g*W, (g+1)*W) belong to dp group g, carrying LOCAL
         slot ids; unused rows get the sentinel M_local (reads clamp, writes
         drop). Returns (pos, req_local, W) where pos[i] is input row i's
         layout position; W is bucket_width-padded ({pow2, 1.5*pow2}). With
-        dp=1 this degenerates to plain batch bucketing."""
+        dp=1 this degenerates to plain batch bucketing. ``min_width`` floors
+        W — a serving scheduler pins it so every admission reuses ONE
+        compiled prefill width instead of one per pow2 batch size (each
+        fresh mode is a ~50 s remote compile on a tunneled device)."""
         groups = [[] for _ in range(self.dp)]
         for i, s in enumerate(slots):
             groups[s // self.M_local].append(i)
-        W = max(1, bucket_width(max(len(g) for g in groups)))
+        W = max(
+            1, min(min_width, self.M_local),
+            bucket_width(max(len(g) for g in groups)),
+        )
         pos = np.zeros((len(slots),), np.int64)
         req_local = np.full((self.dp * W,), self.M_local, np.int32)
         for g, idxs in enumerate(groups):
@@ -783,9 +789,12 @@ class InferenceEngine:
             )
         self._pages_by_group[0] -= need
 
-    def prefill(self, token_lists: Sequence[Sequence[int]], sampling, slots):
+    def prefill(
+        self, token_lists: Sequence[Sequence[int]], sampling, slots,
+        return_logits: bool = False, min_width: int = 1,
+    ):
         """Pad to a bucket, run jitted prefill, sample first tokens.
-        Returns (first_tokens [B] np, lens np, last_logits).
+        Returns (first_tokens [B] np, lens np, last_logits-or-None, lp).
 
         BOTH dims bucket to powers of two: sequence by padding with pad_id,
         batch by appending dummy rows (lens 0, slot id == max_reqs, dropped
@@ -793,7 +802,7 @@ class InferenceEngine:
         admitting odd batch sizes reuses a handful of compiled shapes
         instead of paying a multi-second XLA compile per (B, S) pair."""
         B = len(token_lists)
-        pos, req_local, W = self._group_layout(slots)
+        pos, req_local, W = self._group_layout(slots, min_width=min_width)
         Bl = self.dp * W  # layout rows (group-blocked, pow2 per group)
         lens = np.zeros((Bl,), np.int32)
         lens[pos] = [len(t) for t in token_lists]
@@ -901,11 +910,20 @@ class InferenceEngine:
             )
             self.stats.prefill_tokens += int(lens.sum())
         self._slot_filled.update(slots)
+        # Pack the two small host-bound outputs into ONE download (a
+        # blocking fetch costs a full tunnel RTT, ~120 ms measured); the
+        # [B, vocab] logits (~6 MB for a 128k vocab) download only on
+        # request — no current caller consumes them.
+        packed = jnp.stack(
+            [tok.astype(jnp.int32),
+             jax.lax.bitcast_convert_type(lp.astype(jnp.float32), jnp.int32)]
+        )
+        ph = self._fetch(packed)
         return (
-            self._fetch(tok)[pos],
+            ph[0][pos],
             lens[pos],
-            self._fetch(last)[pos],
-            self._fetch(lp)[pos],
+            self._fetch(last)[pos] if return_logits else None,
+            ph[1].view(np.float32)[pos],
         )
 
     def start_decode_session(
@@ -940,11 +958,17 @@ class InferenceEngine:
 
     def decode_session(self, s: DecodeSession, n_steps: int):
         """Run ``n_steps`` decode steps against a resident session. Returns
-        (tokens [n_steps, B], logprobs [n_steps, B]) in caller order,
-        pad-filled after each row's eos; ``s.tok``/``s.done`` advance on
-        device. The only per-chunk downloads are the emitted tokens (and
-        the done flags when looping for an early exit)."""
+        (tokens [n_steps, B], logprobs [n_steps, B], done [B] bool) in
+        caller order, pad-filled after each row's eos; ``s.tok``/``s.done``
+        advance on device.
+
+        ONE blocking download per chunk: tokens, logprobs and done flags
+        are packed into a single int32 array on device (bitcasting the
+        logprobs) and fetched together — on a tunneled device each
+        blocking fetch costs a full RTT (~120 ms measured), and the three
+        separate downloads were most of the serving gap, not device work."""
         all_toks, all_lps = [], []
+        done_h = None
         remaining = n_steps
         while remaining > 0:
             n = min(remaining, self.decode_chunk)
@@ -966,20 +990,34 @@ class InferenceEngine:
                 s.samp,
                 jnp.asarray(n, jnp.int32),
             )
-            all_toks.append(self._fetch(toks)[:n])
-            all_lps.append(self._fetch(lps)[:n])
+            packed = jnp.concatenate(
+                [
+                    toks.astype(jnp.int32),
+                    jax.lax.bitcast_convert_type(
+                        lps.astype(jnp.float32), jnp.int32
+                    ),
+                    s.done.astype(jnp.int32)[None, :],
+                ],
+                axis=0,
+            )
+            ph = self._fetch(packed)
+            all_toks.append(ph[:n])
+            all_lps.append(
+                ph[run_steps : run_steps + n].view(np.float32)
+            )
+            done_h = ph[-1].astype(bool)
             self.stats.chunks += 1
             remaining -= n
-            # Early exit once every live row is done (the download of toks
-            # above already synced, so this is a host-side check) — callers
-            # pass their full remaining budget in ONE decode()/session call
-            # and the resident arrays upload only once.
-            if remaining > 0 and bool(self._fetch(s.done)[s.pos].all()):
+            # Early exit once every live row is done (already synced by the
+            # packed download — a pure host-side check) — callers pass
+            # their full remaining budget in ONE decode()/session call and
+            # the resident arrays upload only once.
+            if remaining > 0 and bool(done_h[s.pos].all()):
                 break
         out = np.concatenate(all_toks, axis=0)[:, s.pos]
         lps_out = np.concatenate(all_lps, axis=0)[:, s.pos]
         self.stats.decode_tokens += int(out.shape[0] * out.shape[1])
-        return out, lps_out
+        return out, lps_out, done_h[s.pos]
 
     def decode(self, slots, tok, done, stop_lens, sampling, n_steps: int):
         """Run one jitted multi-step decode chunk. Returns (tokens
@@ -1000,10 +1038,10 @@ class InferenceEngine:
         serving holds a session across chunks instead
         (executor/scheduler.py)."""
         s = self.start_decode_session(slots, tok, done, stop_lens, sampling)
-        out, lps_out = self.decode_session(s, n_steps)
+        out, lps_out, done_h = self.decode_session(s, n_steps)
         return (
             jnp.asarray(self._fetch(s.tok)[s.pos]),
-            jnp.asarray(self._fetch(s.done)[s.pos]),
+            jnp.asarray(done_h),
             out,
             lps_out,
         )

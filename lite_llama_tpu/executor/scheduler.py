@@ -175,7 +175,12 @@ class ContinuousBatchingScheduler:
             top_k=jnp.asarray([r.top_k for r in batch], jnp.int32),
         )
         first_tok, lens, _, lp0 = self.engine.prefill(
-            [r.prompt_tokens for r in batch], sampling, slots
+            [r.prompt_tokens for r in batch], sampling, slots,
+            # Pin the prefill width: every admission batch (1..max_prefill_
+            # batch requests) reuses ONE compiled width — dummy rows are
+            # near-free on device, a fresh (W, S) prefill mode is a ~50 s
+            # remote compile.
+            min_width=self.max_prefill_batch,
         )
         now = time.perf_counter()
         for i, (r, slot) in enumerate(zip(batch, slots)):
@@ -215,31 +220,38 @@ class ContinuousBatchingScheduler:
         eng = self.engine
         M = eng.max_reqs
         if self._session_dirty:
-            live = [s for s in range(M) if not self._done_mask[s]]
-            if not live:
+            if not self.running:
                 self._session = None
                 self._session_live = []
                 return
-            idx = np.asarray(live, np.int32)
+            # FULL-WIDTH session: cover every slot, finished/empty rows
+            # masked done. Completions then never invalidate the session
+            # (the done flags already advance on device), so rebuilds —
+            # each a handful of blocking uploads through the tunnel —
+            # happen only on admission. The old live-only session rebuilt
+            # almost every chunk (any completion changed membership) and
+            # re-specialized the chunk executable per pow2 width.
+            live = list(range(M))
             sampling = SamplingParams(
-                temperature=jnp.asarray(self._samp_host["temperature"][idx]),
-                top_p=jnp.asarray(self._samp_host["top_p"][idx]),
-                top_k=jnp.asarray(self._samp_host["top_k"][idx]),
+                temperature=jnp.asarray(self._samp_host["temperature"]),
+                top_p=jnp.asarray(self._samp_host["top_p"]),
+                top_k=jnp.asarray(self._samp_host["top_k"]),
             )
             self._session = eng.start_decode_session(
                 live,
-                self._tok[idx],
-                np.zeros((len(live),), bool),
-                self._stop_lens[idx].tolist(),
+                self._tok,
+                self._done_mask.copy(),
+                self._stop_lens.tolist(),
                 sampling,
             )
             self._session_live = live
             self._session_dirty = False
         live = self._session_live
-        if not live:
+        if not live or self._session is None:
             return
-        toks, lps = eng.decode_session(self._session, self.chunk_steps)
-        new_done = eng._fetch(self._session.done)[self._session.pos]
+        toks, lps, new_done = eng.decode_session(
+            self._session, self.chunk_steps
+        )
         # Token mirrors stay current WITHOUT an extra download: for rows
         # that are not done, every emission this chunk is real, so the last
         # row holds the current next-token (finished rows' values are
@@ -248,7 +260,9 @@ class ContinuousBatchingScheduler:
         eos = self._eos_ids()
         finished: List[Request] = []
         for col, slot in enumerate(live):
-            r = self.running[slot]
+            r = self.running.get(slot)
+            if r is None:  # empty/finished slot riding masked in the session
+                continue
             room = r.max_total - len(r.prompt_tokens) - len(r.output_tokens)
             row = [int(t) for t in toks[:, col]][: max(room, 0)]
             emitted = []
@@ -279,7 +293,9 @@ class ContinuousBatchingScheduler:
             del self.running[r.slot]
             self.engine.release_slots([r.slot], [r.max_total])
             self._done_mask[r.slot] = True
-            self._session_dirty = True  # membership changed
+            # No session rebuild: the full-width session's done flags
+            # already advanced on device; the freed slot's row stays masked
+            # until an admission (which does set _session_dirty) reuses it.
         self.done.append(r)
 
     def _eos_ids(self) -> set:

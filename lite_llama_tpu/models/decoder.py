@@ -260,11 +260,7 @@ def _mlp(cfg, lp, x, shard):
 def _unembed(params, cfg, normed, shard=_NOSHARD):
     if "lm_head" in params:
         w = params["lm_head"]
-        if (
-            isinstance(w, QTensor)
-            and w.layer is None
-            and w.q.dtype == jnp.int8  # packed int4 or plain int8 (W8A8)
-        ):
+        if isinstance(w, QTensor) and w.packed and w.layer is None:
             # Route the (single, unstacked) lm_head through the layered
             # kernel path as layer 0 of a 1-deep stack — the biggest
             # matmul of the step gets the packed-byte streaming too.

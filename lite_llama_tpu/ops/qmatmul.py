@@ -77,7 +77,9 @@ def _pick_bc(C: int, n_groups: int | None) -> int | None:
     else the whole C as one block (still pipelined over the nO grid dim;
     capped so the int8 weight tile stays ≤ ~2 MB of VMEM)."""
     if n_groups is None or n_groups == 1:
-        return _pick_block(C)
+        # Per-channel scales have no GB constraint: prefer bigger C blocks
+        # (1-2 MB int8 tiles) — 512-deep blocks measurably understream HBM.
+        return _pick_block(C, (2048, 1024, 512, 256, 128))
     gs = C // n_groups
     if gs == 0 or C % gs != 0:
         return None
@@ -162,9 +164,15 @@ def quantized_matmul_int8(
     out_dtype=None,
 ) -> jax.Array:
     """W8A8 layered int8 matmul: per-row int8 activations against the raw
-    int8 weight bytes on the MXU (2x bf16 rate, zero weight-side VPU work).
-    Same layer-stacked scalar-prefetch streaming as the int4 kernel; the
-    XLA dequantizing-dot path (CPU, tp>1) stays W8A16."""
+    int8 weight bytes on the MXU. Same layer-stacked scalar-prefetch
+    streaming as the int4 kernel.
+
+    NOT routed by default: measured SLOWER than XLA's fused dequantizing
+    dot at the 3B decode shapes (1113 vs 1443 tok/s end-to-end at
+    gen=1900) — XLA streams the int8 convert into the MXU at ~760 GB/s vs
+    this kernel's ~590, and unlike int4 there is no nibble unpack XLA
+    mishandles. Kept as the measured A/B and a basis for future large-M
+    (prefill) W8A8 where activation-quant amortizes differently."""
     out_dtype = out_dtype or x.dtype
     M, C = x.shape
     Lf, _, O = q.shape

@@ -299,21 +299,23 @@ def _qeinsum_layered(
     nG = w.scale.shape[-2] if w.grouped else None
     if (
         allow_kernel
-        and (w.packed or w.q.dtype == jnp.int8)
+        and w.packed
         and _ops._use_pallas()
         and _qmm.qmm_supported(C, Os, nG, M)
     ):
+        # Packed int4 ONLY: XLA materializes the nibble unpack in HBM, so
+        # the kernel is the only bandwidth-true path. Plain int8 measured
+        # FASTER through XLA's fused dequantizing dot (1443 vs 1113 tok/s
+        # at the 3B gen=1900 row) — its convert feeds the MXU at ~760 GB/s
+        # vs this kernel's ~590; quantized_matmul_int8 is kept as the
+        # measured A/B (and a basis for large-M W8A8), not routed.
         qf = w.q.reshape(-1, C, Os)
         sf = w.scale.reshape(-1, *w.scale.shape[1 + len(rest):])
         O_logical = 1
         for d in w.out_shape:
             O_logical *= d
-        kern = (
-            _qmm.quantized_matmul_packed if w.packed
-            else _qmm.quantized_matmul_int8  # plain int8 -> W8A8 raw dot
-        )
         outs = [
-            kern(
+            _qmm.quantized_matmul_packed(
                 xr, qf, sf, w.layer * n_rest + j, out_dtype=dt
             )[:, :O_logical]  # drop lane-alignment padding (quantize())
             for j in range(n_rest)
