@@ -266,6 +266,7 @@ def main():
         params = quantize_decoder_params(
             params, qdtypes[quant], drop_originals=True,
             group_size=128 if quant == "int4" else None,
+            sigma_ffn=quant == "int4",  # skip the FFN interleave copies
         )
     engine = build_engine(cfg, params, bs, prompt_len, gen_len,
                           page_size, chunk, kv_quant)
@@ -370,6 +371,7 @@ def _run_extras_rows(enabled, cfg, result, prompts, bs, prompt_len, gen_len,
                 params = quantize_decoder_params(
                     params, wq, drop_originals=True,
                     group_size=128 if wq == jnp.int4 else None,
+                    sigma_ffn=wq == jnp.int4,
                 )
             eng = build_engine(cfg, params, bs, prompt_len, gen_len,
                                page_size, chunk, kv_quant=kv_q)

@@ -264,7 +264,9 @@ def _qmm_kernel(
         oo_ref[...] = acc_o[...].astype(oo_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "out_dtype", "interleave")
+)
 def quantized_matmul_packed(
     x: jax.Array,  # [M, C] bf16/f32 activations
     q: jax.Array,  # [Lf, C, Oh] int8 (packed nibble pairs along O)
@@ -272,11 +274,17 @@ def quantized_matmul_packed(
     layer: jax.Array | int,  # flat layer index into Lf
     interpret: bool = False,
     out_dtype=None,
+    interleave: bool = True,
 ) -> jax.Array:
     """Returns [M, 2*Oh] in canonical output-column order (dtype
     ``out_dtype`` or x's). W4A8: quantizes x per row to int8, runs the
     exact-integer kernel, applies the -8*sum(x) bias correction and the
-    activation scale on the way out (fp32 end to end after the dots)."""
+    activation scale on the way out (fp32 end to end after the dots).
+
+    ``interleave=False`` returns the halves CONCATENATED (even columns
+    then odd — "σ order"): the canonical interleave is a cross-lane
+    layout copy XLA materializes (~4.5 us per big FFN matmul), which
+    σ-shuffled FFN pipelines skip entirely (quant/qtensor.py sigma_out)."""
     out_dtype = out_dtype or x.dtype
     M, C = x.shape
     Lf, _, Oh = q.shape
@@ -343,7 +351,10 @@ def quantized_matmul_packed(
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
-    # Canonical column order: even/odd interleave on the small result,
-    # then the per-row activation scale.
-    y = jnp.stack([ye, yo], axis=-1).reshape(M, 2 * Oh)
+    # Canonical column order: even/odd interleave on the small result
+    # (or a cheap concat in σ order), then the per-row activation scale.
+    if interleave:
+        y = jnp.stack([ye, yo], axis=-1).reshape(M, 2 * Oh)
+    else:
+        y = jnp.concatenate([ye, yo], axis=-1)
     return (y * xs[:, None]).astype(out_dtype)

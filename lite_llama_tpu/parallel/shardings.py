@@ -125,6 +125,14 @@ class ShardingPolicy:
 
         def pick(name, leaf):
             if _is_qtensor(leaf):
+                if self.tp > 1 and (leaf.sigma_out or leaf.sigma_in):
+                    raise ValueError(
+                        f"σ-shuffled quantized '{name}' cannot be tensor-"
+                        "parallel sharded: a contiguous tp shard of the σ-"
+                        "ordered FFN axis does not correspond to a shard of "
+                        "the canonical axis — quantize with sigma_ffn=False "
+                        "for tp>1 (quant/qtensor.quantize_decoder_params)"
+                    )
                 if name in unfusable_quantized:
                     if self.tp > 1:
                         raise ValueError(

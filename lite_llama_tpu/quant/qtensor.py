@@ -85,6 +85,17 @@ class QTensor:
         default=(), metadata=dict(static=True)
     )
     packed: bool = field(default=False, metadata=dict(static=True))
+    # σ-shuffled FFN markers (packed int4, tp=1 only — see
+    # quantize_decoder_params(sigma_ffn=True)). The packed matmul emits the
+    # even/odd output halves separately; interleaving them back to
+    # canonical order is a cross-lane layout copy XLA materializes
+    # (profiled ~9 us/layer on the two FFN matmuls). Since SwiGLU is
+    # elementwise, the FFN inner axis can stay in "σ order" — gate/up
+    # outputs CONCATENATED (evens then odds, sigma_out=True) and down_proj
+    # quantized with its contraction rows pre-permuted to match
+    # (sigma_in=True). The residual-stream order is untouched.
+    sigma_out: bool = field(default=False, metadata=dict(static=True))
+    sigma_in: bool = field(default=False, metadata=dict(static=True))
     # Set (to a traced scalar) inside the decoder's layer scan: q/scale stay
     # LAYER-STACKED and ``layer`` indexes axis 0 at use time — the Pallas
     # matmul kernel then block-reads the layer's tiles straight from the
@@ -147,6 +158,16 @@ class QTensor:
         else:
             w = w * self.scale[..., None, :]
         C = w.shape[-2]
+        if self.sigma_in:
+            # Undo the σ row pre-permutation (AFTER the scale multiply —
+            # grouped scales were fit over the stored row order) so the
+            # dequantized weight is canonical: stored row i holds canonical
+            # contraction row sigma(i) (quantize_decoder_params).
+            half = C // 2
+            inv = jnp.stack(
+                [jnp.arange(half), half + jnp.arange(half)], axis=-1
+            ).reshape(-1)
+            w = jnp.take(w, inv, axis=-2)
         O_logical = 1
         for d in self.unit_shape:
             O_logical *= d
@@ -316,7 +337,8 @@ def _qeinsum_layered(
             O_logical *= d
         outs = [
             _qmm.quantized_matmul_packed(
-                xr, qf, sf, w.layer * n_rest + j, out_dtype=dt
+                xr, qf, sf, w.layer * n_rest + j, out_dtype=dt,
+                interleave=not w.sigma_out,
             )[:, :O_logical]  # drop lane-alignment padding (quantize())
             for j in range(n_rest)
         ]
@@ -331,6 +353,8 @@ def _qeinsum_layered(
         unit_shape=w.unit_shape,
         out_shape=w.out_shape,
         packed=w.packed,
+        sigma_out=w.sigma_out,
+        sigma_in=w.sigma_in,
     )
     return qeinsum(pattern, x, sliced, out_dtype)
 
@@ -419,7 +443,12 @@ def qeinsum(
                 * w.scale  # [*stack, Os] broadcasts over batch
                 for h in halves
             ]
-        y = ys[0] if len(ys) == 1 else _interleave_last(*ys)
+        if len(ys) == 1:
+            y = ys[0]
+        elif w.sigma_out:  # σ order: evens then odds, no interleave copy
+            y = jnp.concatenate(ys, axis=-1)
+        else:
+            y = _interleave_last(*ys)
         O_logical = 1
         for d in w.out_shape:
             O_logical *= d
@@ -442,20 +471,44 @@ _LAYER_QUANT_AXES = {
 
 def quantize_decoder_params(
     params: dict, qdtype=jnp.int8, drop_originals: bool = False,
-    group_size: int | None = None,
+    group_size: int | None = None, sigma_ffn: bool = False,
 ) -> dict:
     """Quantize the projection matrices of a decoder param tree (returns a
     new tree; norms/biases/embed untouched).
 
     ``drop_originals=True`` MUTATES the input tree, releasing each bf16
     weight as soon as its quantized replacement exists — halving peak HBM
-    during on-device quantization of a model that barely fits twice."""
+    during on-device quantization of a model that barely fits twice.
+
+    ``sigma_ffn=True`` (packed int4, SINGLE-DEVICE tp=1 only) keeps the
+    FFN inner axis in "σ order": gate/up outputs come back as the packed
+    matmul's natural even/odd column halves concatenated (no interleave
+    copy) and down_proj is quantized with its contraction rows
+    pre-permuted to match. SwiGLU is elementwise, so the math is
+    identical; the residual-stream order is untouched. Incompatible with
+    tensor parallelism (shard boundaries would cut across σ) — the
+    sharding layer rejects σ-marked tensors under tp>1."""
     out = dict(params)
     layers = params["layers"] if drop_originals else dict(params["layers"])
+    sigma = sigma_ffn and jnp.dtype(qdtype) == jnp.dtype(jnp.int4)
     for key, axes in _LAYER_QUANT_AXES.items():
         if key in layers:
             w = layers.pop(key) if drop_originals else layers[key]
+            if sigma and key == "down_proj":
+                # Stored row i <- canonical row sigma(i): evens then odds,
+                # matching the σ-ordered gate/up output this row consumes.
+                I = w.shape[1]
+                perm = jnp.concatenate(
+                    [jnp.arange(0, I, 2), jnp.arange(1, I, 2)]
+                )
+                w = jnp.take(w, perm, axis=1)
             layers[key] = quantize(w, axes, qdtype, group_size=group_size)
+            if sigma and key in ("gate_up_proj", "down_proj"):
+                layers[key] = dataclasses.replace(
+                    layers[key],
+                    **{"sigma_out" if key == "gate_up_proj" else "sigma_in":
+                       True},
+                )
             if drop_originals:
                 jax.block_until_ready(layers[key].q)
                 del w

@@ -336,3 +336,65 @@ def test_qmatmul_int8_kernel_matches(grouped):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
         )
+
+
+def test_sigma_ffn_matches_canonical():
+    """σ-shuffled FFN (sigma_ffn=True): gate/up outputs stay in even/odd-
+    concatenated order and down_proj consumes σ-permuted rows — the full
+    pipeline must equal einsum on the σ tree's own dequantized (canonical)
+    weights, and generation must match the dequantized engine."""
+    from lite_llama_tpu.ops.ref import swiglu
+
+    cfg = LlamaConfig(**CFG)
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    qp = quantize_decoder_params(params, jnp.int4, group_size=16,
+                                 sigma_ffn=True)
+    gu, dn = qp["layers"]["gate_up_proj"], qp["layers"]["down_proj"]
+    assert gu.sigma_out and dn.sigma_in
+    # one layer's FFN: quantized σ pipeline vs dequantized canonical math
+    gu0 = jax.tree_util.tree_map(lambda a: a[0], gu)
+    dn0 = jax.tree_util.tree_map(lambda a: a[0], dn)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, cfg.hidden_size),
+                          jnp.float32)
+    got = qeinsum(
+        "bi,ih->bh",
+        swiglu(*(qeinsum("bh,chi->bci", x, gu0)[:, i] for i in (0, 1))),
+        dn0,
+    )
+    gu_dq = gu0.dequant(jnp.float32)  # canonical [2, H, I]
+    dn_dq = dn0.dequant(jnp.float32)  # canonical [I, H]
+    want = jnp.einsum(
+        "bi,ih->bh",
+        swiglu(*(jnp.einsum("bh,chi->bci", x, gu_dq)[:, i] for i in (0, 1))),
+        dn_dq,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=1e-3)
+    # end-to-end generation parity vs the dequantized tree
+    engine = InferenceEngine(cfg, qp, page_size=8, max_reqs=4, num_pages=32,
+                             decode_chunk=4)
+    out = TextGenerator(engine).generate_tokens(
+        [[1, 2, 3], [7, 8]], max_gen_len=8, temperature=0.0)
+    engine2 = InferenceEngine(cfg, dequantize_tree(qp, jnp.float32),
+                              page_size=8, max_reqs=4, num_pages=32,
+                              decode_chunk=4)
+    out2 = TextGenerator(engine2).generate_tokens(
+        [[1, 2, 3], [7, 8]], max_gen_len=8, temperature=0.0)
+    for a, b in zip(out, out2):
+        assert a.token_ids == b.token_ids
+
+
+def test_sigma_ffn_rejected_under_tp():
+    """σ-marked tensors must be rejected by the tp sharding layer (shard
+    boundaries cut across the σ order)."""
+    from lite_llama_tpu.parallel.shardings import make_mesh, ShardingPolicy
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+    cfg = LlamaConfig(**CFG)
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    qp = quantize_decoder_params(params, jnp.int4, group_size=16,
+                                 sigma_ffn=True)
+    mesh = make_mesh(tp=2, dp=1)
+    pol = ShardingPolicy(mesh=mesh)
+    with pytest.raises(ValueError, match="sigma_ffn=False"):
+        pol.shard_params(cfg, qp)
