@@ -407,13 +407,40 @@ def qeinsum(
         # measured 3.3x slower per scanned layer than int8).
         halves = w.unpack_halves() if w.packed else (w.q,)
         Os = w.q.shape[-1]  # stored width: O (plain) or O/2 (packed bytes)
-        if w.grouped:
+        M_rows = 1
+        for d in batch:
+            M_rows *= d
+        if w.grouped and M_rows >= 512:
+            # Wide batches (prefill): dequantize each half ONCE ([C, Os]
+            # row-wise scale) and run a plain dot. The group-batched
+            # formulation below materializes a [nG, M, Os] fp32
+            # intermediate — at an 8k-prompt chunk that is ~3 GB per
+            # projection and profiled as HALF the whole prefill (int4
+            # prefill ran 4.8x slower than bf16 until this split).
+            nG = w.scale.shape[-2]
+            Gs = C // nG
+            ys = [
+                jax.lax.dot_general(
+                    xr,
+                    (
+                        h.reshape(*w.q.shape[:-2], nG, Gs, Os).astype(
+                            jnp.float32
+                        )
+                        * w.scale[..., :, None, :]
+                    ).astype(dt).reshape(*w.q.shape[:-2], C, Os),
+                    (((len(batch),), (n_stack,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for h in halves
+            ]
+        elif w.grouped:
             # C-grouped scales: per-group dots batched over nG, then the
             # per-(group, channel) scale and a sum over groups. Exact: the
             # scale is constant within each group's contraction slice.
             # Packed scales are PAIRED ([*stack, nG, O/2], one per byte
             # column), so each nibble half is scaled by the SAME rows and
-            # the halves interleave after the group sum.
+            # the halves interleave after the group sum. (Small-M only —
+            # decode-shaped fallbacks; see the M_rows >= 512 branch.)
             nG = w.scale.shape[-2]
             Gs = C // nG
             xg = xr.reshape(*batch, nG, Gs)
