@@ -110,7 +110,9 @@ def serve_tps(cfg, params, max_reqs=12, requests=40, chunk=32, seed=0):
     )
     sched = ContinuousBatchingScheduler(engine, admit_every=4)
     rng = np.random.default_rng(seed)
-    for plen in (8, 16, 33, 63):
+    # one prompt per pow2 prefill bucket (8/16/32/64): a bucket first hit
+    # inside the timed region costs a ~50 s remote compile
+    for plen in (8, 16, 20, 33, 63):
         sched.submit(rng.integers(0, cfg.vocab_size, size=plen).tolist(),
                      max_gen_len=8)
     sched.run()

@@ -956,68 +956,84 @@ class InferenceEngine:
             mode=self._samp_mode(sampling),
         )
 
+    def dispatch_decode_chunk(self, s: DecodeSession, n: int):
+        """Enqueue ONE decode chunk (n <= decode_chunk steps) against a
+        resident session WITHOUT blocking. Returns an opaque bundle for
+        ``collect_decode_chunk``. Dispatch is async — a pipelining
+        scheduler can enqueue chunk k, then do host work (processing chunk
+        k-1's results, admissions) while the device executes."""
+        n = min(n, self.decode_chunk)
+        run_steps = (
+            self.decode_chunk if n >= self.decode_chunk else next_pow2(n)
+        )
+        self.cache, s.tok, s.done, toks, lps = self._get_chunk_jit(
+            run_steps, s.mode
+        )(
+            self.params,
+            self.cache,
+            s.req_ids,
+            s.tok,
+            s.done,
+            s.stop,
+            self._next_key(),
+            s.samp,
+            jnp.asarray(n, jnp.int32),
+        )
+        # Pack the host-bound outputs into ONE int32 array (bitcasting the
+        # logprobs): each blocking fetch costs a full tunnel RTT (~120 ms
+        # measured), and three separate downloads per chunk were most of
+        # the serving gap, not device work.
+        packed = jnp.concatenate(
+            [
+                toks.astype(jnp.int32),
+                jax.lax.bitcast_convert_type(
+                    lps.astype(jnp.float32), jnp.int32
+                ),
+                s.done.astype(jnp.int32)[None, :],
+            ],
+            axis=0,
+        )
+        self.stats.chunks += 1
+        return (packed, n, run_steps, s.pos)
+
+    def collect_decode_chunk(self, bundle):
+        """Block on a dispatched chunk's packed outputs. Returns
+        (tokens [n, B] np.int32, logprobs [n, B] np.float32, done [B] bool)
+        in the session's caller order."""
+        packed, n, run_steps, pos = bundle
+        ph = self._fetch(packed)
+        toks = ph[:n][:, pos]
+        lps = ph[run_steps : run_steps + n].view(np.float32)[:, pos]
+        done_h = ph[-1].astype(bool)[pos]
+        self.stats.decode_tokens += int(toks.shape[0] * toks.shape[1])
+        return toks, lps, done_h
+
     def decode_session(self, s: DecodeSession, n_steps: int):
         """Run ``n_steps`` decode steps against a resident session. Returns
         (tokens [n_steps, B], logprobs [n_steps, B], done [B] bool) in
         caller order, pad-filled after each row's eos; ``s.tok``/``s.done``
-        advance on device.
-
-        ONE blocking download per chunk: tokens, logprobs and done flags
-        are packed into a single int32 array on device (bitcasting the
-        logprobs) and fetched together — on a tunneled device each
-        blocking fetch costs a full RTT (~120 ms measured), and the three
-        separate downloads were most of the serving gap, not device work."""
+        advance on device. Serial dispatch+collect per inner chunk with an
+        early exit once every live row is done."""
         all_toks, all_lps = [], []
         done_h = None
         remaining = n_steps
         while remaining > 0:
             n = min(remaining, self.decode_chunk)
-            run_steps = (
-                self.decode_chunk
-                if n >= self.decode_chunk
-                else next_pow2(n)
+            toks, lps, done_h = self.collect_decode_chunk(
+                self.dispatch_decode_chunk(s, n)
             )
-            self.cache, s.tok, s.done, toks, lps = self._get_chunk_jit(
-                run_steps, s.mode
-            )(
-                self.params,
-                self.cache,
-                s.req_ids,
-                s.tok,
-                s.done,
-                s.stop,
-                self._next_key(),
-                s.samp,
-                jnp.asarray(n, jnp.int32),
-            )
-            packed = jnp.concatenate(
-                [
-                    toks.astype(jnp.int32),
-                    jax.lax.bitcast_convert_type(
-                        lps.astype(jnp.float32), jnp.int32
-                    ),
-                    s.done.astype(jnp.int32)[None, :],
-                ],
-                axis=0,
-            )
-            ph = self._fetch(packed)
-            all_toks.append(ph[:n])
-            all_lps.append(
-                ph[run_steps : run_steps + n].view(np.float32)
-            )
-            done_h = ph[-1].astype(bool)
-            self.stats.chunks += 1
+            all_toks.append(toks)
+            all_lps.append(lps)
             remaining -= n
             # Early exit once every live row is done (already synced by the
             # packed download — a pure host-side check) — callers pass
             # their full remaining budget in ONE decode()/session call and
             # the resident arrays upload only once.
-            if remaining > 0 and bool(done_h[s.pos].all()):
+            if remaining > 0 and bool(done_h.all()):
                 break
-        out = np.concatenate(all_toks, axis=0)[:, s.pos]
-        lps_out = np.concatenate(all_lps, axis=0)[:, s.pos]
-        self.stats.decode_tokens += int(out.shape[0] * out.shape[1])
-        return out, lps_out, done_h[s.pos]
+        out = np.concatenate(all_toks, axis=0)
+        lps_out = np.concatenate(all_lps, axis=0)
+        return out, lps_out, done_h
 
     def decode(self, slots, tok, done, stop_lens, sampling, n_steps: int):
         """Run one jitted multi-step decode chunk. Returns (tokens

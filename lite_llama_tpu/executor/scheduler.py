@@ -105,6 +105,7 @@ class ContinuousBatchingScheduler:
         self._session = None
         self._session_live: List[int] = []
         self._session_dirty = True
+        self._inflight = None  # dispatched-but-unprocessed decode chunk
 
     # -- API ----------------------------------------------------------------
     def submit(
@@ -131,20 +132,41 @@ class ContinuousBatchingScheduler:
         new_token_ids)`` streams per-chunk output."""
         while self.has_work():
             self.step(on_tokens)
+        self._drain(on_tokens)
         out = self.done
         self.done = []
         return out
 
     # -- one scheduler iteration ---------------------------------------------
     def step(self, on_tokens: Optional[Callable] = None) -> None:
+        """PIPELINED iteration: dispatch decode chunk k (async), then
+        process chunk k-1's downloaded results and run admissions while the
+        device executes k. Host bookkeeping and prefill thereby overlap
+        device decode; the device serializes them itself through the cache
+        buffer's data dependencies. Mirrors lag the in-flight chunk by one
+        step — safe because finished rows self-mask on device (full-width
+        sessions) and a session rebuild (admission) first drains the
+        pipeline."""
         if (
             not self.running
             or self._chunks_since_admit >= self.admit_every
         ):
+            self._drain(on_tokens)  # admissions rebuild: sync mirrors first
             self._admit()
         if self.running:
             self._decode_chunk(on_tokens)
             self._chunks_since_admit += 1
+        elif self._inflight is not None:
+            self._drain(on_tokens)
+
+    def _drain(self, on_tokens=None) -> None:
+        """Process the in-flight chunk's results, if any."""
+        if self._inflight is None:
+            return
+        bundle = self._inflight
+        self._inflight = None
+        self._process_chunk(*self.engine.collect_decode_chunk(bundle),
+                            on_tokens=on_tokens)
 
     # -- internals ------------------------------------------------------------
     def _admit(self) -> None:
@@ -167,12 +189,20 @@ class ContinuousBatchingScheduler:
         if not batch:
             return
         slots = [r.slot for r in batch]
+        # Convert through numpy: jnp.asarray on a PYTHON list compiles a
+        # tiny convert_element_type per distinct batch size — usually
+        # ~0.4 s, but measured up to 70 s when the remote compile service
+        # stalls; device_put of a numpy array never compiles.
         sampling = SamplingParams(
             temperature=jnp.asarray(
-                [r.temperature for r in batch], jnp.float32
+                np.asarray([r.temperature for r in batch], np.float32)
             ),
-            top_p=jnp.asarray([r.top_p for r in batch], jnp.float32),
-            top_k=jnp.asarray([r.top_k for r in batch], jnp.int32),
+            top_p=jnp.asarray(
+                np.asarray([r.top_p for r in batch], np.float32)
+            ),
+            top_k=jnp.asarray(
+                np.asarray([r.top_k for r in batch], np.int32)
+            ),
         )
         first_tok, lens, _, lp0 = self.engine.prefill(
             [r.prompt_tokens for r in batch], sampling, slots,
@@ -246,12 +276,16 @@ class ContinuousBatchingScheduler:
             )
             self._session_live = live
             self._session_dirty = False
-        live = self._session_live
-        if not live or self._session is None:
+        if not self._session_live or self._session is None:
             return
-        toks, lps, new_done = eng.decode_session(
-            self._session, self.chunk_steps
-        )
+        # Pipeline: enqueue chunk k (async dispatch), THEN process chunk
+        # k-1's results while the device runs k.
+        nxt = eng.dispatch_decode_chunk(self._session, self.chunk_steps)
+        self._drain(on_tokens)
+        self._inflight = nxt
+
+    def _process_chunk(self, toks, lps, new_done, on_tokens=None) -> None:
+        live = self._session_live
         # Token mirrors stay current WITHOUT an extra download: for rows
         # that are not done, every emission this chunk is real, so the last
         # row holds the current next-token (finished rows' values are
