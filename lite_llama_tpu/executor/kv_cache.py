@@ -56,22 +56,24 @@ from ..ops.ref import cdiv_int as cdiv  # canonical ceil-div (ops layer)
 class KVPool:
     """The paged K/V storage: pages [L, 2, T, Hkv*D] (K/V planes, flat token
     rows, flat head-major channels) plus, when the cache is INT8-quantized
-    (beyond-reference capability), per-(token, half, head) scales stored
-    [L, 2, T, SCALE_LANES] bf16 (first Hkv lanes valid). Dequant is
-    row.reshape(Hkv, D) * scale[:Hkv].
+    (beyond-reference capability), per-(token, head) scales stored MERGED as
+    [L, T, SCALE_LANES] bf16: K scales in lanes [0, Hkv), V scales in
+    [SCALE_LANES/2, SCALE_LANES/2 + Hkv). Dequant is
+    row.reshape(Hkv, D) * scale_lanes.
 
     Scale layout rationale (probed on v5e): Mosaic models every HBM array's
     trailing dim as 128-lane tiled, so a [.., T, Hkv] f32 plane cannot be
     DMA-sliced per page (Hkv << 128 fails tiling alignment) — the in-tree
     paged_attention kernel solves this by broadcasting scales over head_dim
     (jax/experimental/pallas/ops/tpu/paged_attention/paged_attention_kernel.py:422),
-    paying 2x the int8 bandwidth in scales alone. Instead: pad scales to one
-    128-lane bf16 row per (token, half) — +25% traffic vs raw int8 at
-    Hkv=8/D=128, DMA-aligned everywhere, and the scale is rounded to bf16
-    BEFORE quantizing so dequantization is exact w.r.t. the stored values.
-    The scales mirror the pages' (layer, half, token-row) axis order so both
-    share one flat-row scatter index and one page of scales is a contiguous
-    [ps, 128] slab (a single DMA in the Pallas decode kernel)."""
+    paying 2x the int8 bandwidth in scales alone. Instead: one 128-lane bf16
+    row per TOKEN carrying both halves' scales — +12.5% traffic vs raw int8
+    at Hkv=8/D=128 (a per-(token, half) row cost 25%), DMA-aligned
+    everywhere, and the scale is rounded to bf16 BEFORE quantizing so
+    dequantization is exact w.r.t. the stored values. The scale token rows
+    mirror the pages' token rows, so one page of scales is a contiguous
+    [ps, 128] slab (a single DMA per page in the Pallas kernels, covering
+    BOTH K and V)."""
 
     pages: jax.Array
     scales: Optional[jax.Array] = None
@@ -130,16 +132,38 @@ def _kv_row_scatter(kv: "KVPool", grows: jax.Array, val: jax.Array) -> jax.Array
     return out.reshape(kv.pages.shape)
 
 
-def _kv_scale_scatter(kv: "KVPool", grows: jax.Array, sc: jax.Array) -> jax.Array:
-    """Scatter per-(token, half, head) scales through the same flat
-    [(2L*T), SCALE_LANES] view/global-row indices as the pages (scales
-    layout [L, 2, T, SCALE_LANES] mirrors pages [L, 2, T, Hkv*D]); the Hkv
-    valid lanes are zero-padded to the full row."""
+def _scale_rows(kv: "KVPool", layer, rows: jax.Array) -> jax.Array:
+    """Flat scale-row indices for the MERGED [L, T, SCALE_LANES] planes:
+    one row per (layer, token) carries BOTH halves' scales (K in lanes
+    [0, Hkv), V in [SCALE_LANES/2, SCALE_LANES/2 + Hkv)). OOB token rows
+    (== num_tokens) map to the flat OOB row L*T (dropped)."""
+    T = kv.num_tokens
+    L = kv.pages.shape[0]
+    return jnp.where(rows >= T, L * T, layer * T + rows)
+
+
+def _kv_scale_scatter(
+    kv: "KVPool", srows: jax.Array, ksc: jax.Array, vsc: jax.Array
+) -> jax.Array:
+    """Scatter per-(token, head) K and V scales into ONE merged row per
+    (layer, token): lanes [0, Hkv) hold K, [SCALE_LANES/2, +Hkv) hold V —
+    half the scale HBM traffic and one DMA slab per page instead of two
+    (the 128-lane pad carries 8 real values; splitting halves doubled the
+    waste). ``srows``: flat indices from _scale_rows; ksc/vsc [..., Hkv]
+    matching srows' shape."""
     Hkv = kv.num_kv_heads
-    rows = sc.astype(jnp.bfloat16).reshape(-1, Hkv)
-    rows = jnp.pad(rows, ((0, 0), (0, SCALE_LANES - Hkv)))
+    half_l = SCALE_LANES // 2
+    k2 = jnp.pad(
+        ksc.astype(jnp.bfloat16).reshape(-1, Hkv),
+        ((0, 0), (0, half_l - Hkv)),
+    )
+    v2 = jnp.pad(
+        vsc.astype(jnp.bfloat16).reshape(-1, Hkv),
+        ((0, 0), (0, half_l - Hkv)),
+    )
+    rows = jnp.concatenate([k2, v2], axis=-1)  # [N, SCALE_LANES]
     flat = kv.scales.reshape(-1, SCALE_LANES)
-    out = flat.at[grows.reshape(-1)].set(rows, mode="drop")
+    out = flat.at[srows.reshape(-1)].set(rows, mode="drop")
     return out.reshape(kv.scales.shape)
 
 
@@ -246,7 +270,7 @@ def create_kv_cache(
     elif quantized:
         pool = KVPool(
             pages=jnp.zeros(shape, jnp.int8),
-            scales=jnp.zeros((num_layers, 2, T, SCALE_LANES), jnp.bfloat16),
+            scales=jnp.zeros((num_layers, T, SCALE_LANES), jnp.bfloat16),
             **meta,
         )
     else:
@@ -475,11 +499,14 @@ def kv_write_prefill(
     meta = dict(page_size=ps, num_kv_heads=kv.num_kv_heads,
                 head_dim=kv.head_dim)
     if kv.quantized:
-        q, sc = _quantize_kv(jnp.moveaxis(val, 0, -3))
+        q, sc = _quantize_kv(jnp.moveaxis(val, 0, -3))  # sc [B, S, 2, Hkv]
         qp = jnp.moveaxis(q, -3, 0)  # [2, B, S, Hkv, D]
         return KVPool(
             pages=_kv_row_scatter(kv, grows, qp),
-            scales=_kv_scale_scatter(kv, grows, jnp.moveaxis(sc, 2, 0)),
+            scales=_kv_scale_scatter(
+                kv, _scale_rows(kv, layer, rows),
+                sc[..., 0, :], sc[..., 1, :],
+            ),
             **meta,
         )
     return KVPool(
@@ -509,10 +536,13 @@ def kv_write_decode(
     meta = dict(page_size=ps, num_kv_heads=kv.num_kv_heads,
                 head_dim=kv.head_dim)
     if kv.quantized:
-        q, sc = _quantize_kv(jnp.moveaxis(val, 0, -3))
+        q, sc = _quantize_kv(jnp.moveaxis(val, 0, -3))  # sc [B, 2, Hkv]
         return KVPool(
             pages=_kv_row_scatter(kv, grows, jnp.moveaxis(q, -3, 0)),
-            scales=_kv_scale_scatter(kv, grows, jnp.moveaxis(sc, 1, 0)),
+            scales=_kv_scale_scatter(
+                kv, _scale_rows(kv, layer, rows),
+                sc[..., 0, :], sc[..., 1, :],
+            ),
             **meta,
         )
     return KVPool(
@@ -555,10 +585,16 @@ def kv_write_decode_all(
                 head_dim=kv.head_dim)
     if kv.quantized:
         qv = jnp.stack([k_all, v_all], axis=-3)  # [L, B, 2, Hkv, D]
-        q, sc = _quantize_kv(qv)
+        q, sc = _quantize_kv(qv)  # sc [L, B, 2, Hkv]
+        srows = jnp.where(
+            rows[None] >= T, L * T,
+            lidx[:, None] * T + rows[None],
+        )  # [L, B]
         return KVPool(
             pages=_kv_row_scatter(kv, grows, jnp.moveaxis(q, -3, 1)),
-            scales=_kv_scale_scatter(kv, grows, jnp.moveaxis(sc, 2, 1)),
+            scales=_kv_scale_scatter(
+                kv, srows, sc[..., 0, :], sc[..., 1, :]
+            ),
             **meta,
         )
     return KVPool(

@@ -79,14 +79,15 @@ def _decode_kernel(
     # inputs
     q_ref,  # [1, Nq, D] VMEM (this request's q)
     kv_pages_ref,  # [L, 2, T, Hkv*D] HBM (K/V planes, flat token rows)
-    # then, when quantized: kv_scales_ref [L, 2, T, Hkv] HBM fp32
+    # then, when quantized: kv_scales_ref [L, T, SCALE_LANES] HBM bf16
+    # (MERGED rows: K scales in lanes [0, Hkv), V in [SL/2, SL/2+Hkv))
     # outputs
     # out_ref [1, Nq, D] VMEM; m_ref/l_ref [1, Nq, 128] VMEM fp32 (running
     # max / denominator in the exp2 domain; col 0 valid)
     # scratch
     # kv_buf [N_BUF, UNROLL, 2, ps, Hkv*D] VMEM (page-major, K/V halves);
-    # when quantized: scale_buf [N_BUF, UNROLL, 2, ps, SCALE_LANES] bf16 —
-    # one page's scales are a DMA-aligned [ps, 128] slab (see
+    # when quantized: scale_buf [N_BUF, UNROLL, ps, SCALE_LANES] bf16 —
+    # one page's scales are ONE DMA-aligned [ps, 128] slab for both (see
     # executor/kv_cache.py KVPool docstring for why narrower scale layouts
     # cannot be DMA'd); dequant happens in the SCORE domain (see the
     # e_onehot comment in the body — a flat [Wp] per-score-column scale
@@ -166,7 +167,11 @@ def _decode_kernel(
             G_w = Nq // Hkv
             row_head = jax.lax.broadcasted_iota(jnp.int32, (Nq, SLq), 0) // G_w
             lane = jax.lax.broadcasted_iota(jnp.int32, (Nq, SLq), 1)
-            e_onehot = (row_head == lane).astype(jnp.float32)
+            # Merged slab: K scales live in lanes [0, Hkv), V scales in
+            # [SL/2, SL/2 + Hkv) of the SAME per-token row — two selector
+            # matrices against one slab (one DMA per page for both halves).
+            e_onehot_k = (row_head == lane).astype(jnp.float32)
+            e_onehot_v = (row_head + SLq // 2 == lane).astype(jnp.float32)
     else:
         # Column decomposition (token-major rows): col = (f*ps + t)*Hkv + h2.
         row = jax.lax.broadcasted_iota(jnp.int32, (Nq, Wp), 0)
@@ -191,16 +196,16 @@ def _decode_kernel(
                     )
                 )
             if quantized:
-                # One page's scales = a contiguous [ps, SCALE_LANES] slab of
-                # the [L, 2, T, SCALE_LANES] planes (same flat token rows).
-                for c in range(2):
-                    copies.append(
-                        pltpu.make_async_copy(
-                            kv_scales_ref.at[layer, c, pl.ds(row0, ps)],
-                            scale_buf.at[slot, f, c],
-                            sems.at[slot],
-                        )
+                # One page's scales = ONE contiguous [ps, SCALE_LANES] slab
+                # of the merged [L, T, SCALE_LANES] planes (same flat token
+                # rows; both halves' lanes ride in this single copy).
+                copies.append(
+                    pltpu.make_async_copy(
+                        kv_scales_ref.at[layer, pl.ds(row0, ps)],
+                        scale_buf.at[slot, f],
+                        sems.at[slot],
                     )
+                )
         return copies
 
     def start_block(bb, ii, slot):
@@ -272,15 +277,15 @@ def _decode_kernel(
                     UNROLL * ps, Hkv * D
                 ).astype(mat_dtype)
                 SLq = scale_buf.shape[-1]
-                ksc = scale_buf[slot, :, 0].reshape(UNROLL * ps, SLq)
-                vsc = scale_buf[slot, :, 1].reshape(UNROLL * ps, SLq)
+                slab = scale_buf[slot].reshape(UNROLL * ps, SLq)
+                slab_f = slab.astype(jnp.float32)
                 kscmat = jax.lax.dot_general(
-                    e_onehot, ksc.astype(jnp.float32),
+                    e_onehot_k, slab_f,
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # [Nq, Wp]: column t scaled by ksc[t, head_of_row]
+                )  # [Nq, Wp]: column t scaled by scale[t, head_of_row]
                 vscmat = jax.lax.dot_general(
-                    e_onehot, vsc.astype(jnp.float32),
+                    e_onehot_v, slab_f,
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -413,9 +418,9 @@ def paged_flash_decode(
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
         SL = kv_pool.scales.shape[-1]
         scratch_shapes.append(
-            pltpu.VMEM((N_BUF, unroll, 2, ps, SL), kv_pool.scales.dtype)
+            pltpu.VMEM((N_BUF, unroll, ps, SL), kv_pool.scales.dtype)
         )
-        extra_inputs = (kv_pool.scales,)  # [L, 2, T, SCALE_LANES]
+        extra_inputs = (kv_pool.scales,)  # [L, T, SCALE_LANES] merged rows
     scratch_shapes.append(pltpu.SemaphoreType.DMA((N_BUF,)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,

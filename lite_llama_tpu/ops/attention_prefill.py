@@ -56,7 +56,8 @@ def _prefill_kernel(
     k_ref,  # [B, Hkv, S, D] HBM — this chunk's keys, head-major
     v_ref,  # [B, Hkv, S, D] HBM
     # + kv_pages_ref [L, 2, T, Hkv*D] HBM when has_history
-    # + kv_scales_ref [L, 2, T, SL] HBM when quantized
+    # + kv_scales_ref [L, T, SL] HBM when quantized (merged rows: K
+    # scales in lanes [0, Hkv), V in [SL/2, SL/2+Hkv))
     *rest,
     sm_scale: float,
     block_k: int,
@@ -68,7 +69,7 @@ def _prefill_kernel(
 ):
     if quantized:
         (kv_pages_ref, kv_scales_ref, out_ref, k_buf, v_buf,
-         hk_buf, hv_buf, ksc_buf, vsc_buf, sems) = rest
+         hk_buf, hv_buf, sc_buf, sems) = rest
     elif has_history:
         kv_pages_ref, out_ref, k_buf, v_buf, sems = rest
         kv_scales_ref = None
@@ -130,19 +131,17 @@ def _prefill_kernel(
                         )
                     )
                 if quantized:
-                    for half, sbuf in ((0, ksc_buf), (1, vsc_buf)):
-                        cs.append(
-                            (
-                                i < n_hist,
-                                pltpu.make_async_copy(
-                                    kv_scales_ref.at[
-                                        layer, half, pl.ds(row0, ps)
-                                    ],
-                                    sbuf.at[slot, pl.ds(f * ps, ps)],
-                                    sems.at[slot],
-                                ),
-                            )
+                    # ONE merged slab per page covers both halves' scales.
+                    cs.append(
+                        (
+                            i < n_hist,
+                            pltpu.make_async_copy(
+                                kv_scales_ref.at[layer, pl.ds(row0, ps)],
+                                sc_buf.at[slot, pl.ds(f * ps, ps)],
+                                sems.at[slot],
+                            ),
                         )
+                    )
         jc = jnp.maximum(i - n_hist, 0)
         j0 = pl.multiple_of(jc * BK, BK)
         for src, buf in ((k_ref, k_buf), (v_ref, v_buf)):
@@ -186,15 +185,20 @@ def _prefill_kernel(
         # wide head. M = slab @ E gives M[t, l] = scale[t, head_of(l)],
         # expressible where a flat per-column scale vector is not (Mosaic
         # vector-layout probe, see attention_decode).
-        SLq = ksc_buf.shape[-1]
+        SLq = sc_buf.shape[-1]
         D0 = D // pack_f
         lane = jax.lax.broadcasted_iota(jnp.int32, (SLq, D), 1)
         hrow = jax.lax.broadcasted_iota(jnp.int32, (SLq, D), 0)
-        e_expand = (hrow == h * pack_f + lane // D0).astype(jnp.float32)
+        # Merged slab: K scales in rows-as-lanes [0, Hkv), V shifted by
+        # SL/2 — one expansion matrix per half against the SAME slab.
+        e_expand_k = (hrow == h * pack_f + lane // D0).astype(jnp.float32)
+        e_expand_v = (
+            hrow == SLq // 2 + h * pack_f + lane // D0
+        ).astype(jnp.float32)
 
-        def deq(buf, sbuf, slot):
+        def deq(buf, e_expand, slot):
             m_sc = jax.lax.dot_general(
-                sbuf[slot].astype(jnp.float32), e_expand,
+                sc_buf[slot].astype(jnp.float32), e_expand,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [BK, D]
@@ -211,8 +215,8 @@ def _prefill_kernel(
 
             wait(i, slot)
             if quantized and is_hist_phase:
-                k = deq(hk_buf, ksc_buf, slot)
-                v = deq(hv_buf, vsc_buf, slot)
+                k = deq(hk_buf, e_expand_k, slot)
+                v = deq(hv_buf, e_expand_v, slot)
             else:
                 k = k_buf[slot].astype(mat_dtype)  # [BK, D]
                 v = v_buf[slot].astype(mat_dtype)
@@ -488,8 +492,7 @@ def _flash_prefill_impl(
         scratch += [
             pltpu.VMEM((N_BUF, BK, D), kv_pages.pages.dtype),  # hk
             pltpu.VMEM((N_BUF, BK, D), kv_pages.pages.dtype),  # hv
-            pltpu.VMEM((N_BUF, BK, SL), kv_pages.scales.dtype),  # ksc
-            pltpu.VMEM((N_BUF, BK, SL), kv_pages.scales.dtype),  # vsc
+            pltpu.VMEM((N_BUF, BK, SL), kv_pages.scales.dtype),  # merged sc
         ]
     scratch.append(pltpu.SemaphoreType.DMA((N_BUF,)))
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -181,12 +181,13 @@ def gather_kv_pages(
         (jnp.arange(2)[:, None, None] * T + rows[None])
     ].reshape(2, B, S, Hkv, D)
     if kv_pool.quantized:
-        # scales [L, 2, T, SCALE_LANES] share the pages' (half, token-row)
-        # indexing; only the first Hkv lanes are valid.
+        # Merged scales [L, T, SCALE_LANES]: one row per token carries K in
+        # lanes [0, Hkv) and V in [SL/2, SL/2 + Hkv).
         SL = kv_pool.scales.shape[-1]
-        sc = kv_pool.scales[layer].reshape(2 * T, SL)[
-            (jnp.arange(2)[:, None, None] * T + rows[None])
-        ][..., :Hkv]  # [2, B, S, Hkv]
+        srow = kv_pool.scales[layer][rows]  # [B, S, SL]
+        sc = jnp.stack(
+            [srow[..., :Hkv], srow[..., SL // 2 : SL // 2 + Hkv]], axis=0
+        )  # [2, B, S, Hkv]
         kv = kv.astype(jnp.float32) * sc.astype(jnp.float32)[..., None]
         kv = kv.astype(out_dtype or jnp.float32)
     kv = kv.transpose(0, 1, 3, 2, 4)  # [2, B, Hkv, S, D]

@@ -168,15 +168,15 @@ class ShardingPolicy:
         """kv pages [L, 2, T, Hkv*D]: token rows over dp (each dp group owns
         its requests' pages by construction — executor/kv_cache.py
         PagedKVCache docstring), head channels over tp so decode attention
-        is chip-local. Scale planes [L, 2, T, SCALE_LANES] shard dp on the
-        token axis but REPLICATE their lane axis: only the first Hkv lanes
-        are valid, so a tp slice of the 128 padded lanes would not line up
-        with the pages' head shard (shards > 0 would read zero padding).
-        Bookkeeping arrays (page_table [M, ppr], seq_lens/free_stack/
-        free_top [·]) shard their request/page axis over dp."""
+        is chip-local. Merged scale planes [L, T, SCALE_LANES] shard dp on
+        the token axis but REPLICATE their lane axis: only Hkv lanes per
+        half are valid, so a tp slice of the 128 padded lanes would not
+        line up with the pages' head shard (shards > 0 would read zero
+        padding). Bookkeeping arrays (page_table [M, ppr], seq_lens/
+        free_stack/free_top [·]) shard their request/page axis over dp."""
+        if is_scales:  # [L, T, SCALE_LANES]
+            return self._ns(None, "dp", None)
         if leaf.ndim == 4:
-            if is_scales:
-                return self._ns(None, None, "dp", None)
             return self._ns(None, None, "dp", "tp")
         if leaf.ndim == 2:
             return self._ns("dp", None)

@@ -34,11 +34,20 @@ def build_paged_kv(key, L, Hkv, P, ps, D, B, ppr, lens, dtype=jnp.float32,
         from lite_llama_tpu.executor.kv_cache import SCALE_LANES
         import jax.numpy as _jnp
 
-        sc = jax.random.uniform(
+        # Merged scale rows [L, T, SCALE_LANES]: K in lanes [0, Hkv), V in
+        # [SL/2, SL/2 + Hkv) (executor/kv_cache.py KVPool).
+        sc2 = jax.random.uniform(
             jax.random.fold_in(key, 1), (L, 2, P * ps, Hkv),
             jnp.float32, 0.005, 0.02,
         ).astype(jnp.bfloat16)
-        sc = _jnp.pad(sc, ((0, 0), (0, 0), (0, 0), (0, SCALE_LANES - Hkv)))
+        half_l = SCALE_LANES // 2
+        sc = _jnp.concatenate(
+            [
+                _jnp.pad(sc2[:, 0], ((0, 0), (0, 0), (0, half_l - Hkv))),
+                _jnp.pad(sc2[:, 1], ((0, 0), (0, 0), (0, half_l - Hkv))),
+            ],
+            axis=-1,
+        )
         kv_pages = KVPool(
             pages=jax.random.randint(key, shape, -127, 128, jnp.int8),
             scales=sc,
@@ -155,11 +164,18 @@ def test_paged_decode_int8_kv_dispatch_matches_dequant():
     )
     q = jax.random.normal(jax.random.PRNGKey(5), (B, Nq, D), jnp.float32)
     # Dequantize the whole pool into an fp32 pool (planes [L, 2, T, Hkv*D];
-    # scales [L, 2, T, SCALE_LANES] share the axis order, first Hkv valid).
+    # MERGED scales [L, T, SCALE_LANES]: K in lanes [0, Hkv), V in
+    # [SL/2, SL/2+Hkv)).
     T = P * ps
+    SL = kv_pages.scales.shape[-1]
+    sc = jnp.stack(
+        [kv_pages.scales[:, :, :Hkv],
+         kv_pages.scales[:, :, SL // 2 : SL // 2 + Hkv]],
+        axis=1,
+    )  # [L, 2, T, Hkv]
     deq = (
         kv_pages.pages.reshape(L, 2, T, Hkv, D).astype(jnp.float32)
-        * kv_pages.scales[..., :Hkv].astype(jnp.float32)[..., None]
+        * sc.astype(jnp.float32)[..., None]
     ).reshape(L, 2, T, Hkv * D)
     kv_deq = _KVPool(pages=deq, scales=None, page_size=ps,
                      num_kv_heads=Hkv, head_dim=D)

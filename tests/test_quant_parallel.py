@@ -149,3 +149,25 @@ def test_int4_qwen2_bias_engine_tp_parity():
     )
     assert "qkv_bias" in sharded.params["layers"]
     assert _generate(sharded, prompts) == want
+
+
+@pytest.mark.parametrize("tp,dp", [(2, 1), (2, 2)])
+def test_int8_kv_engine_mesh_parity(tp, dp):
+    """INT8-KV pool on a mesh: the merged scale planes [L, T, SCALE_LANES]
+    shard dp on the token axis with lanes replicated
+    (parallel/shardings.py _cache_leaf_sharding) — greedy tokens must match
+    the single-device int8-KV engine."""
+    cfg = tiny_cfg()
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7], [3, 1], [5, 5, 5, 5]]
+    base = InferenceEngine(cfg, params, page_size=8, max_reqs=4,
+                           num_pages=32, kv_quant="int8")
+    want = _generate(base, prompts)
+    mesh = make_mesh(tp=tp, dp=dp)
+    sharded = InferenceEngine(
+        cfg, params, page_size=8, max_reqs=4 * dp, num_pages=32 * dp,
+        mesh=mesh, kv_quant="int8",
+    )
+    assert sharded.cache.kv_pages.scales.ndim == 3
+    got = _generate(sharded, prompts)
+    assert got == want
