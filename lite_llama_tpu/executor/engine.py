@@ -189,6 +189,20 @@ class InferenceEngine:
         self.config = config
         self.shard = ShardingPolicy(mesh=mesh)
         self.dp = self.shard.dp
+        # Catch dtype mismatches at the door: a bf16-config engine fed
+        # fp32 weights (e.g. dequantize_tree(..., jnp.float32) against a
+        # bf16 config) otherwise surfaces as an inscrutable lax.scan
+        # carry-dtype error deep inside the first prefill trace.
+        tree = params.get("lm", params)
+        emb = tree.get("embed") if isinstance(tree, dict) else None
+        if emb is not None and hasattr(emb, "dtype"):
+            if emb.dtype != jnp.dtype(config.dtype):
+                raise ValueError(
+                    f"params dtype {emb.dtype} != config.dtype "
+                    f"{jnp.dtype(config.dtype).name}: cast the weights or "
+                    "the config (activations follow config.dtype; mixing "
+                    "breaks the decoder scan's carry dtype)"
+                )
         if fuse_qkv is None:
             # Measured on v5e (A/B at the north-star config): fusing Q+KV
             # into one matmul is ~1% SLOWER single-chip (the post-dot split
