@@ -41,6 +41,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache: every engine construction re-jits its own
+# closures, and the remote compile service only sometimes dedupes identical
+# programs — without the on-disk cache, a repeat serve_tps (fresh engine)
+# re-pays every ~20-50 s prefill/decode compile and the serve row swings 2x
+# run to run. With it, repeat bench invocations start warm.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 BASELINE_TOKENS_PER_S = 730.45  # reference north star (BASELINE.md)
 
 
@@ -110,12 +121,14 @@ def serve_tps(cfg, params, max_reqs=12, requests=40, chunk=32, seed=0):
     )
     sched = ContinuousBatchingScheduler(engine, admit_every=4)
     rng = np.random.default_rng(seed)
-    # one prompt per pow2 prefill bucket (8/16/32/64): a bucket first hit
-    # inside the timed region costs a ~50 s remote compile
+    # one prompt per pow2 prefill bucket (8/16/32/64), submitted ONE AT A
+    # TIME: a single submit-all would admit them as one batch whose S pads
+    # to the largest bucket, leaving the smaller buckets to compile inside
+    # the timed region (~50 s per remote compile).
     for plen in (8, 16, 20, 33, 63):
         sched.submit(rng.integers(0, cfg.vocab_size, size=plen).tolist(),
                      max_gen_len=8)
-    sched.run()
+        sched.run()
     for _ in range(max_reqs):
         sched.submit(rng.integers(0, cfg.vocab_size, size=16).tolist(),
                      max_gen_len=48)

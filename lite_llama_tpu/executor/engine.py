@@ -1019,7 +1019,11 @@ class InferenceEngine:
         toks = ph[:n][:, pos]
         lps = ph[run_steps : run_steps + n].view(np.float32)[:, pos]
         done_h = ph[-1].astype(bool)[pos]
-        self.stats.decode_tokens += int(toks.shape[0] * toks.shape[1])
+        # Count only rows still live at chunk end (full-width serving
+        # sessions carry masked done/empty rows; counting the packed width
+        # overstated throughput by up to max_reqs x). Rows finishing
+        # mid-chunk undercount by < n each — stats, not billing.
+        self.stats.decode_tokens += int(n * int((~done_h).sum()))
         return toks, lps, done_h
 
     def decode_session(self, s: DecodeSession, n_steps: int):
@@ -1028,6 +1032,13 @@ class InferenceEngine:
         caller order, pad-filled after each row's eos; ``s.tok``/``s.done``
         advance on device. Serial dispatch+collect per inner chunk with an
         early exit once every live row is done."""
+        B = len(s.pos)
+        if n_steps <= 0:  # degenerate budget: report state, emit nothing
+            return (
+                np.zeros((0, B), np.int32),
+                np.zeros((0, B), np.float32),
+                self._fetch(s.done)[s.pos],
+            )
         all_toks, all_lps = [], []
         done_h = None
         remaining = n_steps

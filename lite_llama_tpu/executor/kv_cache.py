@@ -267,6 +267,13 @@ def create_kv_cache(
         pool = KVPool(
             pages=jnp.zeros(shape, jnp.float8_e4m3fn), scales=None, **meta
         )
+    elif quantized and num_kv_heads > SCALE_LANES // 2:
+        raise ValueError(
+            f"int8 KV cache supports num_kv_heads <= {SCALE_LANES // 2}: "
+            "the merged scale rows pack K and V scales into one "
+            f"{SCALE_LANES}-lane slab ({SCALE_LANES // 2} lanes per half). "
+            "Use bf16 KV for wider-MHA models."
+        )
     elif quantized:
         pool = KVPool(
             pages=jnp.zeros(shape, jnp.int8),

@@ -147,10 +147,12 @@ class ContinuousBatchingScheduler:
         step — safe because finished rows self-mask on device (full-width
         sessions) and a session rebuild (admission) first drains the
         pipeline."""
-        if (
-            not self.running
-            or self._chunks_since_admit >= self.admit_every
-        ):
+        if (not self.running or self._chunks_since_admit >= self.admit_every
+                ) and (self.waiting or not self.running):
+            # Drain-before-admit is a pipeline BARRIER (mirrors must be
+            # current before a session rebuild) — skip it when the waiting
+            # queue is empty and decode is running: _admit would no-op and
+            # the barrier would idle the device for a host round-trip.
             self._drain(on_tokens)  # admissions rebuild: sync mirrors first
             self._admit()
         if self.running:
@@ -238,15 +240,16 @@ class ContinuousBatchingScheduler:
         self._session_dirty = True  # membership changed
 
     def _decode_chunk(self, on_tokens) -> None:
-        """Decode only the live slots (adaptive width, resident state).
+        """Dispatch one decode chunk against the FULL-WIDTH resident
+        session, then process the previous chunk's results (pipelined).
 
-        Always decoding at full ``max_reqs`` width paid max_reqs rows of
-        attention + sampling even with one live request; the engine buckets
-        the live rows to a pow-2 width per dp group (engine._group_layout),
-        keeping the compiled-shape count bounded while making low-occupancy
-        decode proportionally cheaper. The laid-out token/done/stop/sampling
-        arrays live on DEVICE across iterations (engine.DecodeSession) and
-        re-upload only when membership changed."""
+        Every slot rides in the session with finished/empty rows masked
+        done, so ONE chunk executable serves the whole run and completions
+        never rebuild the session (done flags advance on device) — only
+        admissions re-upload state. The padded-row cost at low occupancy
+        is deliberate: serving paid far more for per-width executables and
+        per-completion rebuild uploads than for masked rows (the earlier
+        adaptive-width design rebuilt nearly every chunk)."""
         eng = self.engine
         M = eng.max_reqs
         if self._session_dirty:

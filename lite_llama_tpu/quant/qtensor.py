@@ -335,11 +335,24 @@ def _qeinsum_layered(
         O_logical = 1
         for d in w.out_shape:
             O_logical *= d
+
+        def _unpad(y):
+            # Drop lane-alignment padding (quantize()). σ order stores
+            # [evens(Os) | odds(Os)]: each half must be sliced to its own
+            # real width (a flat [:O_logical] slice would keep the evens'
+            # zero-pad tail and drop real odd columns).
+            if w.sigma_out and 2 * Os != O_logical:
+                h = O_logical // 2
+                return jnp.concatenate([y[:, :h], y[:, Os : Os + h]], -1)
+            return y[:, :O_logical]
+
         outs = [
-            _qmm.quantized_matmul_packed(
-                xr, qf, sf, w.layer * n_rest + j, out_dtype=dt,
-                interleave=not w.sigma_out,
-            )[:, :O_logical]  # drop lane-alignment padding (quantize())
+            _unpad(
+                _qmm.quantized_matmul_packed(
+                    xr, qf, sf, w.layer * n_rest + j, out_dtype=dt,
+                    interleave=not w.sigma_out,
+                )
+            )
             for j in range(n_rest)
         ]
         y = outs[0] if not rest else jnp.stack(outs, axis=1)
@@ -470,16 +483,18 @@ def qeinsum(
                 * w.scale  # [*stack, Os] broadcasts over batch
                 for h in halves
             ]
-        if len(ys) == 1:
-            y = ys[0]
-        elif w.sigma_out:  # σ order: evens then odds, no interleave copy
-            y = jnp.concatenate(ys, axis=-1)
-        else:
-            y = _interleave_last(*ys)
         O_logical = 1
         for d in w.out_shape:
             O_logical *= d
-        y = y[..., :O_logical]  # drop lane-alignment padding (quantize())
+        if len(ys) == 1:
+            y = ys[0][..., :O_logical]
+        elif w.sigma_out:  # σ order: evens then odds, no interleave copy.
+            # Slice pad off EACH half (a flat slice of the concat would
+            # keep the evens' zero-pad tail and drop real odd columns).
+            h = O_logical // 2
+            y = jnp.concatenate([ys[0][..., :h], ys[1][..., :h]], axis=-1)
+        else:
+            y = _interleave_last(*ys)[..., :O_logical]
         return y.reshape(*batch, *w.q.shape[:-2], *w.out_shape).astype(dt)
     return jnp.einsum(pattern, x, w)
 

@@ -398,3 +398,43 @@ def test_sigma_ffn_rejected_under_tp():
     pol = ShardingPolicy(mesh=mesh)
     with pytest.raises(ValueError, match="sigma_ffn=False"):
         pol.shard_params(cfg, qp)
+
+
+def test_sigma_out_with_padded_output():
+    """σ-ordered output slicing must drop each HALF's lane padding (a flat
+    [:O] slice of [evens|odds] keeps the evens' zero-pad tail and drops real
+    odd columns — review finding, round 3)."""
+    import dataclasses
+    from lite_llama_tpu.ops.qmatmul import (
+        quantize_activations, quantized_matmul_packed,
+    )
+
+    C, O = 64, 8448  # O/2 = 4224, not 512-aligned -> storage pads to 4608
+    w = jax.random.normal(jax.random.PRNGKey(0), (C, O), jnp.float32)
+    qt = dataclasses.replace(
+        quantize(w, (0,), jnp.int4, group_size=32), sigma_out=True
+    )
+    assert qt.q.shape[-1] == 4608  # padded per-half storage
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, C), jnp.float32)
+    got = qeinsum("bc,co->bo", x, qt)
+    assert got.shape == (3, O)
+    dq = qt.dequant(jnp.float32)  # canonical [C, O]
+    full = jnp.einsum("bc,co->bo", x, dq)
+    # σ order: evens then odds of the CANONICAL product
+    want = jnp.concatenate([full[:, 0::2], full[:, 1::2]], axis=-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    # layered kernel path (interpret): same σ slicing rule
+    lt = dataclasses.replace(
+        qt, q=qt.q[None], scale=qt.scale[None],
+        layer=jnp.asarray(0, jnp.int32),
+    )
+    import lite_llama_tpu.ops as ops_mod
+    prev = ops_mod._BACKEND
+    ops_mod.set_backend("xla")  # keep dispatch off pallas on CPU
+    try:
+        got2 = qeinsum("bc,co->bo", x, lt)
+    finally:
+        ops_mod.set_backend(prev if prev else "auto")
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
