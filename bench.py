@@ -399,10 +399,11 @@ def _run_extras_rows(enabled, cfg, result, prompts, bs, prompt_len, gen_len,
         except Exception as e:
             progress(f"{row}-failed", repr(e))
 
-    # 1B narrow-head row (VERDICT r2 next #7): Llama-3.2-1B (D=64) with an
-    # INT8 KV pool now rides the head-packed/wide Pallas kernels end to end
-    # — this row proves it on hardware. bs=16 matches the reference's 1B
-    # headline batch (docs/benchmark.md:8-14).
+    # 1B narrow-head rows (VERDICT r2 next #7): Llama-3.2-1B (D=64) rides
+    # the head-packed/wide Pallas kernels end to end — these rows prove it
+    # on hardware. bs=16 matches the reference's 1B headline batch
+    # (docs/benchmark.md:8-14). Two configs: bf16 weights + int8 KV, and
+    # the best single-chip combo (W4A8 int4 + sigma-FFN + int8 KV).
     if os.environ.get("BENCH_1B", "1") == "1":
         try:
             from lite_llama_tpu.models.decoder import init_decoder_params
@@ -410,18 +411,32 @@ def _run_extras_rows(enabled, cfg, result, prompts, bs, prompt_len, gen_len,
 
             cfg1b = get_preset("llama-3.2-1b", dtype=jnp.bfloat16,
                                max_seq_len=2048)
-            params = init_decoder_params(cfg1b, jax.random.PRNGKey(0))
             rng1 = np.random.default_rng(2)
             prompts1b = [
                 rng1.integers(0, cfg1b.vocab_size, size=prompt_len).tolist()
                 for _ in range(16)
             ]
+            params = init_decoder_params(cfg1b, jax.random.PRNGKey(0))
             eng = build_engine(cfg1b, params, 16, prompt_len, gen_len,
                                page_size, chunk, kv_quant=True)
             del params
             gc.collect()
             detail["1b_int8_kv"] = run_engine(eng, prompts1b, gen_len, chunk)
             progress("1b_int8_kv", detail["1b_int8_kv"])
+            del eng
+            gc.collect()
+            params = quantize_decoder_params(
+                init_decoder_params(cfg1b, jax.random.PRNGKey(0)),
+                jnp.int4, drop_originals=True, group_size=128,
+                sigma_ffn=True,
+            )
+            eng = build_engine(cfg1b, params, 16, prompt_len, gen_len,
+                               page_size, chunk, kv_quant=True)
+            del params
+            gc.collect()
+            detail["1b_int4_int8kv"] = run_engine(eng, prompts1b, gen_len,
+                                                  chunk)
+            progress("1b_int4_int8kv", detail["1b_int4_int8kv"])
             del eng
             gc.collect()
         except Exception as e:
