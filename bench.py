@@ -119,7 +119,11 @@ def serve_tps(cfg, params, max_reqs=12, requests=40, chunk=32, seed=0):
         cfg, params, page_size=64, max_reqs=max_reqs,
         num_pages=max_reqs * (1024 // 64) + 16, decode_chunk=chunk,
     )
-    sched = ContinuousBatchingScheduler(engine, admit_every=4)
+    # admit_every=2 measured best on the mixed workload (620 tok/s vs 510
+    # at 1 — too many drain barriers — and 557 at 4 — occupancy sags while
+    # freed slots wait): with the pipelined scheduler and pinned prefill
+    # width, admissions are cheap and keeping slots full dominates.
+    sched = ContinuousBatchingScheduler(engine, admit_every=2)
     rng = np.random.default_rng(seed)
     # one prompt per pow2 prefill bucket (8/16/32/64), submitted ONE AT A
     # TIME: a single submit-all would admit them as one batch whose S pads
