@@ -458,6 +458,23 @@ def _run_extras_rows(enabled, cfg, result, prompts, bs, prompt_len, gen_len,
             gc.collect()
         except Exception as e:
             progress("serve-failed", repr(e))
+        try:
+            # Quantized serving: the best single-chip weight config through
+            # the same continuous-batching mix (captured: ~1040 tok/s warm,
+            # TTFT p50 1.8 s — above the round-2 BATCH-loop number).
+            params = quantize_decoder_params(
+                fresh(), jnp.int4, drop_originals=True, group_size=128,
+                sigma_ffn=True,
+            )
+            detail["serve_int4"] = {
+                k: (round(v, 3) if isinstance(v, float) else v)
+                for k, v in serve_tps(cfg, params).items()
+            }
+            progress("serve_int4", detail["serve_int4"])
+            del params
+            gc.collect()
+        except Exception as e:
+            progress("serve_int4-failed", repr(e))
 
     if os.environ.get("BENCH_LONGCTX", "1") != "1":
         return
