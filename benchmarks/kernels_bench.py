@@ -81,15 +81,19 @@ def _mk_pool(L, P, Hkv, ps, D, B, seq, dtype=jnp.bfloat16, quantized=False):
     T = P * ps
     meta = dict(page_size=ps, num_kv_heads=Hkv, head_dim=D)
     shape = (L, 2, T, Hkv * D)
-    if quantized == "int8":  # int8 + per-(token, head) bf16 scale slabs
+    if quantized == "int8":  # int8 + MERGED per-token bf16 scale rows
         from lite_llama_tpu.executor.kv_cache import SCALE_LANES
 
         vals = jax.random.normal(key, (L, 2, T, Hkv, D), jnp.float32)
         amax = jnp.max(jnp.abs(vals), axis=-1, keepdims=True)
         sc = (jnp.maximum(amax, 1e-6) / 127.0).astype(jnp.bfloat16)
         qv = jnp.clip(jnp.round(vals / sc.astype(jnp.float32)), -127, 127)
-        scales = jnp.zeros((L, 2, T, SCALE_LANES), jnp.bfloat16)
-        scales = scales.at[..., :Hkv].set(sc[..., 0])
+        # [L, T, SCALE_LANES]: K in lanes [0, Hkv), V in [SL/2, SL/2+Hkv)
+        scales = jnp.zeros((L, T, SCALE_LANES), jnp.bfloat16)
+        scales = scales.at[:, :, :Hkv].set(sc[:, 0, ..., 0])
+        scales = scales.at[
+            :, :, SCALE_LANES // 2 : SCALE_LANES // 2 + Hkv
+        ].set(sc[:, 1, ..., 0])
         pool = KVPool(
             pages=qv.astype(jnp.int8).reshape(shape), scales=scales, **meta,
         )
