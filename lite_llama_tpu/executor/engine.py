@@ -259,6 +259,7 @@ class InferenceEngine:
             for g in range(self.dp)
         ]
         self._pages_by_group = [num_pages // self.dp] * self.dp
+        self._group_pages_total = num_pages // self.dp
         self.stats = EngineStats()
         from jax.sharding import PartitionSpec as PS
 
@@ -413,6 +414,16 @@ class InferenceEngine:
         full[g * W : (g + 1) * W] = pages
         valid[g * W : (g + 1) * W] = True
         return self._evict_jit(self.cache, jnp.asarray(full), jnp.asarray(valid))
+
+    def admit_feasible(self, total_len: int) -> bool:
+        """Could a request of ``total_len`` tokens EVER be admitted (with an
+        idle engine)? False means waiting is pointless — schedulers must
+        reject instead of retrying forever (the batch path raises; a polling
+        scheduler that only retries try_admit would busy-loop)."""
+        return (
+            0 < total_len <= self.config.max_seq_len
+            and cdiv(total_len, self.page_size) <= self._group_pages_total
+        )
 
     def try_admit(self, total_len: int, prompt_tokens=None):
         """Atomically place one request: pick the dp group with the longest

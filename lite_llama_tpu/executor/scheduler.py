@@ -106,6 +106,9 @@ class ContinuousBatchingScheduler:
         self._session_live: List[int] = []
         self._session_dirty = True
         self._inflight = None  # dispatched-but-unprocessed decode chunk
+        # EOS ids are immutable for the engine's lifetime; _eos_ids() sits
+        # on the host path that overlaps device decode.
+        self._eos_cache = None
 
     # -- API ----------------------------------------------------------------
     def submit(
@@ -154,7 +157,7 @@ class ContinuousBatchingScheduler:
             # queue is empty and decode is running: _admit would no-op and
             # the barrier would idle the device for a host round-trip.
             self._drain(on_tokens)  # admissions rebuild: sync mirrors first
-            self._admit()
+            self._admit(on_tokens)
         if self.running:
             self._decode_chunk(on_tokens)
             self._chunks_since_admit += 1
@@ -171,15 +174,35 @@ class ContinuousBatchingScheduler:
                             on_tokens=on_tokens)
 
     # -- internals ------------------------------------------------------------
-    def _admit(self) -> None:
+    def _reject(self, r: Request, reason: str) -> None:
+        r.state = "done"
+        r.finish_reason = reason
+        r.finished_at = time.perf_counter()
+        self.done.append(r)
+
+    def _admit(self, on_tokens=None) -> None:
         self._chunks_since_admit = 0
         eng = self.engine
         batch: List[Request] = []
         while self.waiting and len(batch) < self.max_prefill_batch:
             r = self.waiting[0]
+            # Reject impossible requests UP FRONT instead of waiting forever
+            # for room that can never exist: a prompt that fills (or
+            # overflows) max_seq_len would desynchronize the host page
+            # reservation (clamped) from the device allocator (unclamped
+            # prompt length); a request whose clamped footprint exceeds one
+            # dp group's whole pool would spin run() in a busy-loop (the
+            # batch path raises RuntimeError for the same condition).
             max_total = min(
                 len(r.prompt_tokens) + r.max_gen_len, eng.config.max_seq_len
             )
+            if (
+                len(r.prompt_tokens) >= eng.config.max_seq_len
+                or not eng.admit_feasible(max_total)
+            ):
+                self.waiting.popleft()
+                self._reject(r, "rejected_too_long")
+                continue
             # Atomic slot + page placement (group-aware under dp).
             slot = eng.try_admit(max_total, r.prompt_tokens)
             if slot is None:
@@ -222,6 +245,8 @@ class ContinuousBatchingScheduler:
             tok = int(first_tok[i])
             r.output_tokens.append(tok)
             r.output_logprobs.append(float(lp0[i]))
+            if on_tokens:
+                on_tokens(r, [tok])  # the prefill-sampled first token
             self.running[slot] = r
             self._tok[slot] = tok
             self._stop_lens[slot] = r.max_total
@@ -253,10 +278,6 @@ class ContinuousBatchingScheduler:
         eng = self.engine
         M = eng.max_reqs
         if self._session_dirty:
-            if not self.running:
-                self._session = None
-                self._session_live = []
-                return
             # FULL-WIDTH session: cover every slot, finished/empty rows
             # masked done. Completions then never invalidate the session
             # (the done flags already advance on device), so rebuilds —
@@ -336,4 +357,8 @@ class ContinuousBatchingScheduler:
         self.done.append(r)
 
     def _eos_ids(self) -> set:
-        return set(int(t) for t in np.asarray(self.engine._eos_array) if t >= 0)
+        if self._eos_cache is None:
+            self._eos_cache = set(
+                int(t) for t in np.asarray(self.engine._eos_array) if t >= 0
+            )
+        return self._eos_cache

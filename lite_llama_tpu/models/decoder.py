@@ -358,7 +358,8 @@ def decoder_prefill(
         else:
             attn = ops.prefill_attention(q, k, v, ctx.chunk_lens, sm_scale)
         attn_out = shard.hidden(
-            qeinsum("bsnd,ndh->bsh", attn, lp["o_proj"])
+            qeinsum("bsnd,ndh->bsh", attn, lp["o_proj"],
+                    allow_kernel=shard.tp == 1)
         )
         normed2, residual = ops.skip_rms_norm(
             attn_out, residual, lp["mlp_norm"], cfg.rms_norm_eps
@@ -422,7 +423,8 @@ def decoder_decode(
             max_seq, sm_scale, k_new=k, v_new=v,
         )
         attn_out = shard.hidden(
-            qeinsum("bnd,ndh->bh", attn, lp["o_proj"])
+            qeinsum("bnd,ndh->bh", attn, lp["o_proj"],
+                    allow_kernel=shard.tp == 1)
         )
         normed2, residual = ops.skip_rms_norm(
             attn_out, residual, lp["mlp_norm"], cfg.rms_norm_eps

@@ -179,6 +179,12 @@ def quantized_matmul_int8(
     if scale.ndim == 2:
         scale = scale[:, None, :]
     nG = scale.shape[1]
+    if not qmm_supported(C, O, nG, M) or O % 128:
+        raise ValueError(
+            f"quantized_matmul_int8: unsupported shape C={C}, O={O}, "
+            f"nG={nG}, M={M} (needs O%128==0, a legal C block, M<=256) — "
+            "use the XLA dequantizing dot instead"
+        )
     BC = _pick_bc(C, nG)
     BO = _pick_block(O, (512, 256, 128)) or 128
     nC, nO = C // BC, O // BO

@@ -406,12 +406,7 @@ def qeinsum(
     if isinstance(w, QTensor):
         dt = out_dtype or x.dtype
         C = w.q.shape[-2]
-        k, prod = 0, 1
-        while prod != C:
-            k += 1
-            assert k <= x.ndim, (x.shape, C)
-            prod *= x.shape[-k]
-        batch = x.shape[: x.ndim - k]
+        batch = x.shape[: x.ndim - _contract_ndims(x, C)]
         n_stack = w.n_stack  # e.g. gate_up sliced under scan: [2, H, I]
         xr = x.reshape(*batch, C)
         # Packed int4: TWO dots on the shifted nibble halves (even / odd
@@ -559,7 +554,8 @@ def quantize_decoder_params(
         w = params.pop("lm_head") if drop_originals else params["lm_head"]
         out["lm_head"] = quantize(w, (0,), qdtype, group_size=group_size)
     elif "embed" in params and not (
-        qdtype == jnp.int4 and params["embed"].shape[0] % 2
+        jnp.dtype(qdtype) == jnp.dtype(jnp.int4)
+        and params["embed"].shape[0] % 2
     ):
         # Tied embeddings (llama-3.2): materialize a QUANTIZED head from the
         # embedding table. Without this, every decode step's unembed reads

@@ -75,8 +75,9 @@ def test_streaming_callback():
     streamed = []
     results = sched.run(on_tokens=lambda r, toks: streamed.extend(toks))
     full = {r.req_id: r for r in results}[rid].output_tokens
-    # first token arrives via prefill (not the callback); the rest stream
-    assert full[1:] == streamed
+    # every output token streams through the callback, INCLUDING the
+    # prefill-sampled first token (review fix, round 3)
+    assert full == streamed
 
 
 def test_admission_respects_capacity():
@@ -142,3 +143,18 @@ def test_admit_every_batches_admissions():
     # necessary; admission batching must not add more than one per refill
     # window (strictly fewer calls than one-per-request).
     assert 3 <= spy.call_count < 6, spy.call_count
+
+
+def test_impossible_requests_rejected_not_spun():
+    """A request that can NEVER fit (prompt >= max_seq_len, or a footprint
+    larger than a whole dp group's pool) must be rejected with a finish
+    reason — run() previously busy-looped forever retrying try_admit
+    (review fix, round 3)."""
+    engine = make_engine(max_reqs=2, num_pages=8)  # page_size=8 -> 64 tokens
+    sched = ContinuousBatchingScheduler(engine)
+    too_long = sched.submit(list(range(40)), max_gen_len=4)  # > max_seq (32)
+    ok = sched.submit([1, 2, 3], max_gen_len=4, temperature=0.0)
+    results = {r.req_id: r for r in sched.run()}
+    assert results[too_long].finish_reason == "rejected_too_long"
+    assert results[too_long].output_tokens == []
+    assert len(results[ok].output_tokens) >= 1
