@@ -332,7 +332,9 @@ def _decode_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_seq_len", "sm_scale", "interpret", "unroll"),
+    static_argnames=(
+        "max_seq_len", "sm_scale", "interpret", "unroll", "return_state"
+    ),
 )
 def paged_flash_decode(
     q: jax.Array,  # [B, Nq, D]
@@ -346,6 +348,7 @@ def paged_flash_decode(
     unroll: int = DEFAULT_UNROLL,
     k_new: jax.Array | None = None,  # [B, Hkv, D] — newest token, NOT in pool
     v_new: jax.Array | None = None,
+    return_state: bool = False,  # also return the online-softmax (m, l)
 ) -> jax.Array:
     """When (k_new, v_new) are given, the pool holds only seq_lens-1 tokens;
     the newest token is folded in via an exact LSE combine OUTSIDE the kernel
@@ -487,12 +490,26 @@ def paged_flash_decode(
             ),
             axis=2,
         )
+    if return_state:
+        assert k_new is None, "return_state excludes the virtual-token fold"
+        return out, m[..., 0], l[..., 0]
     if k_new is None:
         return out
-    # Exact LSE combine with the virtual newest token (exp2 domain, scales
-    # folded the same way as inside the kernel).
-    m1 = m[..., 0]  # [B, Nq]
-    l1 = l[..., 0]
+    return fold_new_token(
+        out, m[..., 0], l[..., 0], q, k_new, v_new, sm_scale
+    )
+
+
+def fold_new_token(out, m1, l1, q, k_new, v_new, sm_scale):
+    """Exact LSE combine of a normalized partial attention result ``out``
+    with online-softmax state ``(m1, l1)`` (exp2 domain, scale*log2(e) folded
+    into the scores — the kernel's convention) and one extra K/V token. The
+    same algebra combines partials across a ring / context-parallel axis
+    (SURVEY.md §5); ``parallel/context_parallel.py`` reuses it after its
+    cross-device reduction."""
+    B, Nq, D = q.shape
+    Hkv = k_new.shape[1]
+    G = Nq // Hkv
     qf = q.astype(jnp.float32) * (sm_scale * LOG2E)
     qg = qf.reshape(B, Hkv, G, D)
     s2 = jnp.einsum(

@@ -1,0 +1,162 @@
+"""Context-parallel (sequence-parallel) paged decode attention.
+
+Beyond-reference capability (the reference is single-GPU — SURVEY.md §2.6
+lists SP/CP as absent; §5 notes its split-KV LSE-combine algebra is exactly
+what a CP decomposition needs). Tensor parallelism shards decode attention by
+KV *head*, which caps at ``num_key_value_heads`` chips (8 for Llama-3.x) and
+leaves each chip reading the full sequence; context parallelism shards the
+*paged KV pool itself* over a mesh axis, so each chip reads only the pages it
+owns and the per-chip decode-attention HBM traffic — the long-context decode
+bottleneck — drops by the axis size.
+
+Design (TPU-first, no kernel changes needed):
+
+- The pool's flat token-row axis ``T`` is sharded over the ``cp`` mesh axis
+  (pages ``[L, 2, T, Hkv*D]`` → each device owns rows
+  ``[i*T/N, (i+1)*T/N)``, i.e. pages ``[i*P/N, (i+1)*P/N)``); the page
+  table and queries stay replicated. Works for bf16/fp8 AND int8+scales
+  pools (the merged scale planes ``[L, T, SCALE_LANES]`` shard on the same
+  row axis).
+- Online softmax is permutation-invariant over tokens, so each device runs
+  the UNMODIFIED single-chip kernel over a *compacted local page list*:
+  the request's pages that fall in this device's shard, full pages first,
+  the (possibly partial) tail page last, with a local length of
+  ``ps * n_local_full + tail_count`` — the kernel's positional mask then
+  masks exactly the tail padding and nothing else.
+- The kernel's exported online-softmax state ``(out, m, l)`` is combined
+  across the axis with the standard streaming-LSE reduction
+  (``psum``/``pmax`` over ICI):  ``m* = pmax(m)``,
+  ``l* = psum(l · 2^(m−m*))``, ``out* = psum(out · l · 2^(m−m*)) / l*``.
+  Devices with no pages for a request contribute ``l = 0`` — a no-op term.
+- The engine's virtual newest-token protocol (pool holds ``seq_len − 1``
+  tokens, the newest K/V rides as function args — see
+  ``ops/attention_decode.paged_flash_decode``) folds in AFTER the
+  cross-device combine via the same ``fold_new_token`` algebra.
+
+Allocation note: page ids are global, so the engine's allocator needs no
+changes — any page placement works; a round-robin-by-page-id placement (the
+free-stack order already interleaves) balances the per-device load. The
+``cp`` axis composes with ``tp`` (heads) on an independent mesh axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..executor.kv_cache import KVPool
+from ..ops.attention_decode import fold_new_token, paged_flash_decode
+
+
+def _local_page_view(page_table, kv_lens, ps, pages_loc, idx):
+    """Compacted per-device page list + local lengths.
+
+    For each request: its pages that live in this device's shard
+    (global page ids in ``[idx*pages_loc, (idx+1)*pages_loc)``), full pages
+    first and the tail page last, rebased to local row indices; local length
+    counts ``ps`` per owned full page plus the tail remainder if this device
+    owns the tail page. Unowned slots are clamped in-range — the kernel never
+    reads past ``cdiv(local_len, ps)`` entries.
+    """
+    B, ppr = page_table.shape
+    lo = idx * pages_loc
+    n_pages = (kv_lens + ps - 1) // ps  # [B]
+    j = jnp.arange(ppr, dtype=jnp.int32)[None, :]
+    valid = j < n_pages[:, None]
+    owned = valid & (page_table >= lo) & (page_table < lo + pages_loc)
+    is_tail = j == (n_pages - 1)[:, None]
+    full = owned & ~is_tail
+    tail_owned = owned & is_tail
+    # Ascending sort key: full pages (in order), then the tail, then unowned.
+    key = jnp.where(full, j, jnp.where(tail_owned, ppr + j, 2 * ppr + j))
+    order = jnp.argsort(key, axis=1)
+    local_pt = jnp.take_along_axis(page_table, order, axis=1) - lo
+    local_pt = jnp.clip(local_pt, 0, pages_loc - 1).astype(jnp.int32)
+    tail_count = kv_lens - (n_pages - 1) * ps  # ps when len % ps == 0
+    local_len = jnp.sum(full, axis=1, dtype=jnp.int32) * ps + jnp.where(
+        jnp.any(tail_owned, axis=1), tail_count, 0
+    )
+    return local_pt, local_len.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "axis", "max_seq_len", "sm_scale", "interpret", "unroll"
+    ),
+)
+def cp_paged_flash_decode(
+    q: jax.Array,  # [B, Nq, D] (replicated over the cp axis)
+    kv_pool: KVPool,  # pages sharded on the token-row axis over `axis`
+    layer: jax.Array | int,
+    page_table: jax.Array,  # [B, ppr] int32, GLOBAL page ids, replicated
+    seq_lens: jax.Array,  # [B] int32
+    mesh: Mesh,
+    axis: str = "cp",
+    max_seq_len: Optional[int] = None,
+    sm_scale: Optional[float] = None,
+    interpret: bool = False,
+    unroll: int = 4,
+    k_new: Optional[jax.Array] = None,  # [B, Hkv, D] newest token (not in pool)
+    v_new: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Decode attention with the paged KV pool sharded over ``mesh[axis]``.
+
+    Matches ``paged_flash_decode`` on a replicated pool bit-for-bit up to
+    reduction order; each device touches only ``1/N`` of the KV bytes.
+    """
+    N = mesh.shape[axis]
+    ps = kv_pool.page_size
+    D = q.shape[-1]
+    if sm_scale is None:
+        sm_scale = 1.0 / (D**0.5)
+    num_pages = kv_pool.num_pages
+    assert num_pages % N == 0, (
+        f"num_pages={num_pages} must divide over cp axis size {N}"
+    )
+    pages_loc = num_pages // N
+    kv_lens = seq_lens if k_new is None else jnp.maximum(seq_lens - 1, 0)
+
+    quantized = kv_pool.quantized
+    pool_spec = KVPool(
+        pages=P(None, None, axis, None),
+        scales=P(None, axis, None) if quantized else None,
+        page_size=kv_pool.page_size,
+        num_kv_heads=kv_pool.num_kv_heads,
+        head_dim=kv_pool.head_dim,
+    )
+
+    def local(q, pool, layer, page_table, kv_lens):
+        idx = jax.lax.axis_index(axis)
+        local_pt, local_len = _local_page_view(
+            page_table, kv_lens, ps, pages_loc, idx
+        )
+        out, m, l = paged_flash_decode(
+            q, pool, layer, local_pt, local_len,
+            max_seq_len=max_seq_len, sm_scale=sm_scale,
+            interpret=interpret, unroll=unroll, return_state=True,
+        )
+        # Streaming-LSE combine across the cp axis. Empty shards carry
+        # l = 0 (zero weight); m is large-negative but finite, so the
+        # exp2 terms stay NaN-free even when every shard is empty.
+        m_star = jax.lax.pmax(m, axis)  # [B, Nq]
+        w = l * jnp.exp2(m - m_star)
+        l_star = jax.lax.psum(w, axis)
+        acc = jax.lax.psum(out.astype(jnp.float32) * w[..., None], axis)
+        out_c = (acc / jnp.maximum(l_star, 1e-30)[..., None]).astype(q.dtype)
+        return out_c, m_star, l_star
+
+    out, m, l = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), pool_spec, P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )(q, kv_pool, jnp.asarray(layer, jnp.int32), page_table, kv_lens)
+    if k_new is None:
+        return out
+    return fold_new_token(out, m, l, q, k_new, v_new, sm_scale)
