@@ -43,6 +43,14 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _interpret() -> bool:
+    """Pallas interpret mode off-TPU: ``set_backend('pallas')`` on a CPU
+    host (tests) runs every kernel through the interpreter instead of
+    crashing in Mosaic — the CPU-testability the reference lacks
+    (SURVEY.md §4)."""
+    return jax.default_backend() != "tpu"
+
+
 # --- norm / mlp: ALWAYS the XLA form in the model path — on TPU, XLA fuses
 # these elementwise chains into the surrounding matmuls, so a pallas_call here
 # would add materialization boundaries. Standalone fused Pallas versions live
@@ -59,13 +67,15 @@ def prefill_attention(q, k, v, seq_lens, sm_scale=None):
     if _use_pallas():
         from . import attention_prefill
 
-        return attention_prefill.flash_prefill(q, k, v, seq_lens, sm_scale)
+        return attention_prefill.flash_prefill(
+            q, k, v, seq_lens, sm_scale, interpret=_interpret()
+        )
     return ref.prefill_attention(q, k, v, seq_lens, sm_scale)
 
 
 def chunked_prefill_attention(
     q, k, v, chunk_lens, start_pos, kv_pool, layer, page_table, sm_scale=None,
-    max_hist_len=None,
+    max_hist_len=None, force_ref: bool = False,
 ):
     """Chunk queries attend pool history [0, start_pos) + causal chunk
     prefix. Pallas streams history pages from the pool — including INT8
@@ -80,8 +90,12 @@ def chunked_prefill_attention(
     per-request page walk is already bounded by the traced start_pos)."""
     from . import attention_prefill
 
+    # ``force_ref``: a pallas_call is opaque to GSPMD, so a context-parallel
+    # (row-sharded) pool must take the XLA reference path, which partitions
+    # like any gather+dot (the decoder passes shard.cp > 1).
     if (
-        _use_pallas()
+        not force_ref
+        and _use_pallas()
         and (
             kv_pool.quantized  # int8+scales: in-kernel dequant
             or kv_pool.pages.dtype == k.dtype
@@ -95,7 +109,7 @@ def chunked_prefill_attention(
     ):
         return attention_prefill.flash_prefill_chunked(
             q, k, v, chunk_lens, start_pos, kv_pool, layer, page_table,
-            sm_scale,
+            sm_scale, interpret=_interpret(),
         )
     return ref.chunked_prefill_attention(
         q, k, v, chunk_lens, start_pos, kv_pool, layer, page_table, sm_scale,
@@ -116,9 +130,14 @@ def paged_decode_attention(
     if _use_pallas():
         from . import attention_decode
 
+        # max_seq_len is NOT forwarded: the kernel's page walk is bounded
+        # by the traced seq_lens (a dead static knob only caused spurious
+        # recompiles — ADVICE r3); the XLA fallback below still uses it to
+        # bound its dense gather.
         return attention_decode.paged_flash_decode(
             q, kv_pool, layer, page_table, seq_lens,
-            max_seq_len, sm_scale, k_new=k_new, v_new=v_new,
+            sm_scale, k_new=k_new, v_new=v_new,
+            interpret=_interpret(),
         )
     return ref.paged_decode_attention(
         q, kv_pool, layer, page_table, seq_lens,

@@ -332,9 +332,7 @@ def _decode_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "max_seq_len", "sm_scale", "interpret", "unroll", "return_state"
-    ),
+    static_argnames=("sm_scale", "interpret", "unroll", "return_state"),
 )
 def paged_flash_decode(
     q: jax.Array,  # [B, Nq, D]
@@ -342,7 +340,6 @@ def paged_flash_decode(
     layer: jax.Array | int,
     page_table: jax.Array,  # int32 [B, ppr]
     seq_lens: jax.Array,  # int32 [B]
-    max_seq_len: int | None = None,
     sm_scale: float | None = None,
     interpret: bool = False,
     unroll: int = DEFAULT_UNROLL,
@@ -367,7 +364,13 @@ def paged_flash_decode(
     which also covers head_dim % 128 != 0 (e.g. Llama-3.2-1B's D=64). The
     per-(token, half, head) granularity matches the layout trap documented
     by the reference's only quant kernel (/root/reference/lite_llama/
-    kernels/others/context_flashattention_nopad.py:501)."""
+    kernels/others/context_flashattention_nopad.py:501).
+
+    The per-request page walk is bounded by the TRACED seq_lens (plus the
+    static page-table width), so there is no static max_seq_len knob here
+    — the one previously forwarded was never read and only triggered
+    spurious recompiles (ADVICE r3); the XLA fallback keeps its
+    max_seq_len to bound the dense gather (ops/__init__.py)."""
     quantized = kv_pool.quantized
     kv_pages = kv_pool.pages
     B, Nq, D = q.shape

@@ -90,6 +90,102 @@ def _pick_bc(C: int, n_groups: int | None) -> int | None:
     return None
 
 
+def qmm_tp_supported(
+    kind: str, C: int, Oh: int, n_groups: int | None, M: int, tp: int
+) -> bool:
+    """Whether the manual-tp shard_map wrapper can run the packed kernel:
+    per-SHARD shapes must be kernel-legal and the sharded axis must divide.
+
+    kind='out': the byte/output axis Oh is tp-sharded (wqkv / gate_up /
+    lm_head — parallel/shardings.py); each shard runs [M, C] x [C, Oh/tp].
+    kind='contract': the contraction axis C is tp-sharded (o_proj / down);
+    grouped scales need whole groups per shard (tp | nG), and the partial
+    outputs psum over 'tp'."""
+    nG = n_groups or 1
+    if kind == "out":
+        return Oh % tp == 0 and qmm_supported(C, Oh // tp, nG, M)
+    if kind == "contract":
+        if C % tp:
+            return False
+        if nG > 1 and nG % tp:
+            return False
+        return qmm_supported(C // tp, Oh, max(1, nG // tp), M)
+    return False
+
+
+def _ctx_mesh(mesh):
+    """The mesh the inner shard_map must name: inside an enclosing manual
+    region (the engine's manual-dp shard_map) JAX requires the CONTEXT
+    abstract mesh; at top level (plain jit) the concrete mesh is correct."""
+    am = jax.sharding.get_abstract_mesh()
+    return mesh if am.empty else am
+
+
+def quantized_matmul_packed_tp(
+    x: jax.Array,  # [M, C] activations (global view)
+    q: jax.Array,  # [Lf, C, Oh] packed bytes, tp-sharded per ``kind``
+    scale: jax.Array,  # [Lf, (nG,) Oh] paired scales
+    layer: jax.Array | int,
+    mesh,
+    kind: str,  # 'out' | 'contract'
+    out_dtype=None,
+    interpret: bool = False,
+    interleave: bool = True,
+) -> jax.Array:
+    """W4A8 packed matmul under TENSOR PARALLELISM: a manual-tp shard_map
+    whose body runs the single-chip Pallas kernel on the local weight shard
+    (pallas_call is opaque to GSPMD, so tp>1 otherwise falls back to the
+    XLA W4A16 dual-dot — VERDICT r3 next #1). kind='out' shards the packed
+    byte axis (each shard emits its contiguous slice of the output columns);
+    kind='contract' shards the contraction (activations arrive head/ffn-
+    sharded, partial results psum over 'tp'). Activation int8 quantization
+    happens per shard: for 'contract' each shard fits its own row scale to
+    its slice — at worst a tighter fit than the global row scale."""
+    from jax.sharding import PartitionSpec as P
+
+    out_dtype = out_dtype or x.dtype
+    grouped = scale.ndim == 3
+    layer_arr = jnp.asarray(layer, jnp.int32)
+    if kind == "out":
+        in_specs = (
+            P(None, None),
+            P(None, None, "tp"),
+            P(None, None, "tp") if grouped else P(None, "tp"),
+            P(),
+        )
+        out_specs = P(None, "tp")
+
+        def body(xl, ql, sl, ll):
+            return quantized_matmul_packed(
+                xl, ql, sl, ll, interpret=interpret, out_dtype=out_dtype,
+                interleave=interleave,
+            )
+
+    else:
+        in_specs = (
+            P(None, "tp"),
+            P(None, "tp", None),
+            P(None, "tp", None) if grouped else P(None, None),
+            P(),
+        )
+        out_specs = P(None, None)
+
+        def body(xl, ql, sl, ll):
+            y = quantized_matmul_packed(
+                xl, ql, sl, ll, interpret=interpret,
+                out_dtype=jnp.float32, interleave=interleave,
+            )
+            return jax.lax.psum(y, "tp").astype(out_dtype)
+
+    # check_vma=False: pallas_call's out_shape ShapeDtypeStructs carry no
+    # varying-mesh-axes annotation, which the vma checker rejects inside a
+    # manual region.
+    return jax.shard_map(
+        body, mesh=_ctx_mesh(mesh), in_specs=in_specs,
+        out_specs=out_specs, axis_names={"tp"}, check_vma=False,
+    )(x, q, scale, layer_arr)
+
+
 def qmm_supported(C: int, Oh: int, n_groups: int | None, M: int) -> bool:
     """Shapes the kernel handles; callers fall back to the XLA dual-dot
     path otherwise. M is capped because the kernel streams the full weight

@@ -83,12 +83,6 @@ def _local_page_view(page_table, kv_lens, ps, pages_loc, idx):
     return local_pt, local_len.astype(jnp.int32)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "mesh", "axis", "max_seq_len", "sm_scale", "interpret", "unroll"
-    ),
-)
 def cp_paged_flash_decode(
     q: jax.Array,  # [B, Nq, D] (replicated over the cp axis)
     kv_pool: KVPool,  # pages sharded on the token-row axis over `axis`
@@ -97,7 +91,6 @@ def cp_paged_flash_decode(
     seq_lens: jax.Array,  # [B] int32
     mesh: Mesh,
     axis: str = "cp",
-    max_seq_len: Optional[int] = None,
     sm_scale: Optional[float] = None,
     interpret: bool = False,
     unroll: int = 4,
@@ -108,7 +101,48 @@ def cp_paged_flash_decode(
 
     Matches ``paged_flash_decode`` on a replicated pool bit-for-bit up to
     reduction order; each device touches only ``1/N`` of the KV bytes.
-    """
+
+    When called EAGERLY with a concrete pool, the pages' placement is
+    checked against the expected P(None, None, axis, None) row sharding —
+    a replicated or differently-sharded pool would otherwise be silently
+    resharded by jit at every call (a full-pool collective), negating the
+    claimed 1/N HBM traffic without any error (ADVICE r3). Inside an outer
+    jit the check cannot see concrete placements; the engine's cp path
+    shards the pool at creation (parallel/shardings.py)."""
+    pages = kv_pool.pages
+    if isinstance(pages, jax.Array) and not isinstance(
+        pages, jax.core.Tracer
+    ):
+        sh = getattr(pages, "sharding", None)
+        spec = tuple(getattr(sh, "spec", ()) or ())
+        spec = spec + (None,) * (4 - len(spec))
+        if (
+            sh is not None
+            and hasattr(sh, "spec")
+            and mesh.shape[axis] > 1
+            and spec != (None, None, axis, None)
+        ):
+            raise ValueError(
+                f"cp_paged_flash_decode: kv_pool.pages is sharded {sh.spec},"
+                f" expected P(None, None, '{axis}', None) — a mismatched "
+                "pool would be silently resharded (full-pool collective) "
+                "on every call; device_put it onto the cp row sharding "
+                "first"
+            )
+    return _cp_paged_flash_decode(
+        q, kv_pool, layer, page_table, seq_lens, mesh, axis,
+        sm_scale, interpret, unroll, k_new, v_new,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "axis", "sm_scale", "interpret", "unroll"),
+)
+def _cp_paged_flash_decode(
+    q, kv_pool, layer, page_table, seq_lens, mesh, axis="cp",
+    sm_scale=None, interpret=False, unroll=4, k_new=None, v_new=None,
+):
     N = mesh.shape[axis]
     ps = kv_pool.page_size
     D = q.shape[-1]
@@ -136,8 +170,7 @@ def cp_paged_flash_decode(
             page_table, kv_lens, ps, pages_loc, idx
         )
         out, m, l = paged_flash_decode(
-            q, pool, layer, local_pt, local_len,
-            max_seq_len=max_seq_len, sm_scale=sm_scale,
+            q, pool, layer, local_pt, local_len, sm_scale=sm_scale,
             interpret=interpret, unroll=unroll, return_state=True,
         )
         # Streaming-LSE combine across the cp axis. Empty shards carry
@@ -150,9 +183,11 @@ def cp_paged_flash_decode(
         out_c = (acc / jnp.maximum(l_star, 1e-30)[..., None]).astype(q.dtype)
         return out_c, m_star, l_star
 
+    from ..ops.qmatmul import _ctx_mesh
+
     out, m, l = jax.shard_map(
         local,
-        mesh=mesh,
+        mesh=_ctx_mesh(mesh),
         in_specs=(P(), pool_spec, P(), P(), P()),
         out_specs=(P(), P(), P()),
         check_vma=False,

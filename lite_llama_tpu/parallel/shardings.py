@@ -33,12 +33,20 @@ def _is_qtensor(x) -> bool:
     return isinstance(x, QTensor)
 
 
-def make_mesh(tp: int = 1, dp: int = 1, devices=None) -> Mesh:
+def make_mesh(tp: int = 1, dp: int = 1, cp: int = 1, devices=None) -> Mesh:
+    """('dp', 'cp', 'tp') device mesh. ``cp`` (context/sequence parallel)
+    shards the paged KV pool's token rows so long-context decode attention
+    reads 1/cp of the KV bytes per chip (parallel/context_parallel.py);
+    meshes built without cp keep the historical 2-axis ('dp', 'tp') shape
+    so existing specs/tests are unchanged."""
     devices = devices if devices is not None else jax.devices()
-    n = dp * tp
+    n = dp * tp * cp
     assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
-    arr = np.asarray(devices[:n]).reshape(dp, tp)
-    return Mesh(arr, ("dp", "tp"))
+    if cp == 1:
+        arr = np.asarray(devices[:n]).reshape(dp, tp)
+        return Mesh(arr, ("dp", "tp"))
+    arr = np.asarray(devices[:n]).reshape(dp, cp, tp)
+    return Mesh(arr, ("dp", "cp", "tp"))
 
 
 @dataclass(frozen=True)
@@ -54,6 +62,10 @@ class ShardingPolicy:
 
     mesh: Optional[Mesh] = None
     manual_dp: bool = False
+    # Route packed-int4 matmuls through the Pallas W4A8 kernel under tp>1
+    # (manual-tp shard_map, quant/qtensor.qeinsum). Off = XLA W4A16
+    # dual-dot everywhere (the measured A/B).
+    tp_kernel: bool = True
 
     @property
     def tp(self) -> int:
@@ -62,6 +74,10 @@ class ShardingPolicy:
     @property
     def dp(self) -> int:
         return 1 if self.mesh is None else self.mesh.shape.get("dp", 1)
+
+    @property
+    def cp(self) -> int:
+        return 1 if self.mesh is None else self.mesh.shape.get("cp", 1)
 
     def _ns(self, *spec):
         if self.mesh is None:
@@ -167,17 +183,21 @@ class ShardingPolicy:
     def _cache_leaf_sharding(self, leaf, is_scales: bool = False):
         """kv pages [L, 2, T, Hkv*D]: token rows over dp (each dp group owns
         its requests' pages by construction — executor/kv_cache.py
-        PagedKVCache docstring), head channels over tp so decode attention
-        is chip-local. Merged scale planes [L, T, SCALE_LANES] shard dp on
-        the token axis but REPLICATE their lane axis: only Hkv lanes per
-        half are valid, so a tp slice of the 128 padded lanes would not
-        line up with the pages' head shard (shards > 0 would read zero
-        padding). Bookkeeping arrays (page_table [M, ppr], seq_lens/
-        free_stack/free_top [·]) shard their request/page axis over dp."""
+        PagedKVCache docstring) AND over cp (context parallelism: each cp
+        shard owns 1/cp of the page rows; decode attention reads only the
+        owned rows through cp_paged_flash_decode and LSE-combines over ICI),
+        head channels over tp so decode attention is chip-local. Merged
+        scale planes [L, T, SCALE_LANES] shard dp/cp on the token axis but
+        REPLICATE their lane axis: only Hkv lanes per half are valid, so a
+        tp slice of the 128 padded lanes would not line up with the pages'
+        head shard (shards > 0 would read zero padding). Bookkeeping arrays
+        (page_table [M, ppr], seq_lens/free_stack/free_top [·]) shard their
+        request/page axis over dp only (they are read on every shard)."""
+        row = ("dp", "cp") if self.cp > 1 else "dp"
         if is_scales:  # [L, T, SCALE_LANES]
-            return self._ns(None, "dp", None)
+            return self._ns(None, row, None)
         if leaf.ndim == 4:
-            return self._ns(None, None, "dp", "tp")
+            return self._ns(None, None, row, "tp")
         if leaf.ndim == 2:
             return self._ns("dp", None)
         if leaf.ndim == 0:  # scalar free_top (single-group cache)
@@ -238,11 +258,23 @@ class ShardingPolicy:
                 q_spec, s_spec = spec
                 if node.grouped and s_spec is not None:
                     # C-grouped scales carry an extra nG axis before O
-                    # ([*stack, nG, O]); the spec tables are written for the
-                    # ungrouped rank — replicate the group axis.
+                    # ([*stack, nG, O]); the spec tables are written for
+                    # the ungrouped rank. When the weight's CONTRACTION
+                    # axis is tp-sharded (o_proj/down_proj), the groups
+                    # follow it — shard nG so each tp shard holds exactly
+                    # its rows' scales (what the manual-tp W4A8 kernel
+                    # wrapper reads locally, ops/qmatmul.py); otherwise
+                    # replicate the group axis.
                     p = tuple(s_spec.spec)
+                    qp = tuple(q_spec.spec)
+                    contract_tp = (
+                        len(qp) >= 2
+                        and qp[-2] == "tp"
+                        and node.scale.shape[-2] % max(self.tp, 1) == 0
+                    )
                     s_spec = NamedSharding(
-                        s_spec.mesh, P(*p[:-1], None, p[-1])
+                        s_spec.mesh,
+                        P(*p[:-1], "tp" if contract_tp else None, p[-1]),
                     )
                 return _dc.replace(
                     node,

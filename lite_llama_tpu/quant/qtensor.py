@@ -299,13 +299,16 @@ def _interleave_last(a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def _qeinsum_layered(
-    pattern: str, x: jax.Array, w: QTensor, out_dtype, allow_kernel: bool
+    pattern: str, x: jax.Array, w: QTensor, out_dtype, allow_kernel: bool,
+    shard=None, tp_kind=None,
 ) -> jax.Array:
     """A layer-stacked QTensor used at ``w.layer``. On TPU, packed int4
     weights with kernel-supported shapes ride the Pallas streaming matmul
-    (ops/qmatmul.py) against the STACKED storage; everything else slices
-    the layer (identical to what lax.scan's xs-slicing used to do) and
-    falls through to the XLA path."""
+    (ops/qmatmul.py) against the STACKED storage — single-chip directly,
+    or per shard through a manual-tp shard_map when ``shard.tp > 1`` and
+    ``tp_kind`` names the weight's tp layout ('out' | 'contract'); every
+    other case slices the layer (identical to what lax.scan's xs-slicing
+    used to do) and falls through to the XLA path."""
     from .. import ops as _ops
     from ..ops import qmatmul as _qmm
 
@@ -318,8 +321,19 @@ def _qeinsum_layered(
     xr = x.reshape(-1, C)
     M = xr.shape[0]
     nG = w.scale.shape[-2] if w.grouped else None
-    if (
+    tp = 1 if shard is None else shard.tp
+    use_tp_kernel = (
+        tp > 1
+        and tp_kind is not None
+        and getattr(shard, "tp_kernel", True)
+        and w.packed
+        and not (w.sigma_out or w.sigma_in)
+        and _ops._use_pallas()
+        and _qmm.qmm_tp_supported(tp_kind, C, Os, nG, M, tp)
+    )
+    if use_tp_kernel or (
         allow_kernel
+        and tp == 1
         and w.packed
         and _ops._use_pallas()
         and _qmm.qmm_supported(C, Os, nG, M)
@@ -346,15 +360,27 @@ def _qeinsum_layered(
                 return jnp.concatenate([y[:, :h], y[:, Os : Os + h]], -1)
             return y[:, :O_logical]
 
-        outs = [
-            _unpad(
-                _qmm.quantized_matmul_packed(
-                    xr, qf, sf, w.layer * n_rest + j, out_dtype=dt,
-                    interleave=not w.sigma_out,
+        interpret = jax.default_backend() != "tpu"
+        if use_tp_kernel:
+            outs = [
+                _unpad(
+                    _qmm.quantized_matmul_packed_tp(
+                        xr, qf, sf, w.layer * n_rest + j, shard.mesh,
+                        tp_kind, out_dtype=dt, interpret=interpret,
+                    )
                 )
-            )
-            for j in range(n_rest)
-        ]
+                for j in range(n_rest)
+            ]
+        else:
+            outs = [
+                _unpad(
+                    _qmm.quantized_matmul_packed(
+                        xr, qf, sf, w.layer * n_rest + j, out_dtype=dt,
+                        interleave=not w.sigma_out, interpret=interpret,
+                    )
+                )
+                for j in range(n_rest)
+            ]
         y = outs[0] if not rest else jnp.stack(outs, axis=1)
         batch = x.shape[: x.ndim - _contract_ndims(x, C)]
         return y.reshape(*batch, *rest, *w.out_shape).astype(dt)
@@ -384,7 +410,7 @@ def _contract_ndims(x: jax.Array, C: int) -> int:
 
 def qeinsum(
     pattern: str, x: jax.Array, w: Any, out_dtype=None,
-    allow_kernel: bool = True,
+    allow_kernel: bool = True, shard=None, tp_kind=None,
 ) -> jax.Array:
     """einsum that accepts a plain array or a QTensor for ``w``.
 
@@ -397,12 +423,18 @@ def qeinsum(
     exactly the weight's out dims (true for every decoder projection).
 
     ``allow_kernel=False`` keeps layer-indexed packed weights off the
-    Pallas kernel (the decoder passes tp > 1: a pallas_call is opaque to
-    GSPMD, so tensor-parallel-sharded weights must use the XLA dual-dot
-    path, which partitions like any dot).
+    Pallas kernel. Under tensor parallelism a bare pallas_call is opaque
+    to GSPMD, so kernel routing needs ``shard`` (the ShardingPolicy, for
+    the mesh) and ``tp_kind`` ('out': output/byte axis tp-sharded;
+    'contract': contraction axis tp-sharded) — qeinsum then runs the
+    kernel per shard inside a manual-tp shard_map
+    (ops/qmatmul.quantized_matmul_packed_tp). Without them, tp>1 falls
+    back to the XLA dual-dot path, which partitions like any dot.
     """
     if isinstance(w, QTensor) and w.layer is not None:
-        return _qeinsum_layered(pattern, x, w, out_dtype, allow_kernel)
+        return _qeinsum_layered(
+            pattern, x, w, out_dtype, allow_kernel, shard, tp_kind
+        )
     if isinstance(w, QTensor):
         dt = out_dtype or x.dtype
         C = w.q.shape[-2]

@@ -90,7 +90,7 @@ def test_paged_flash_decode_matches_ref(B, Nq, Hkv, D, ps, lens):
             q, kv_pages, layer, table, lens_arr, ppr * ps
         )
         got = paged_flash_decode(
-            q, kv_pages, layer, table, lens_arr, ppr * ps, interpret=True
+            q, kv_pages, layer, table, lens_arr, interpret=True
         )
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5,
@@ -108,7 +108,7 @@ def test_paged_flash_decode_bf16():
     )
     q = jax.random.normal(jax.random.PRNGKey(3), (B, Nq, D), jnp.bfloat16)
     want = ref.paged_decode_attention(q, kv_pages, 0, table, lens_arr, ppr * ps)
-    got = paged_flash_decode(q, kv_pages, 0, table, lens_arr, ppr * ps, interpret=True)
+    got = paged_flash_decode(q, kv_pages, 0, table, lens_arr, interpret=True)
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         rtol=2e-2, atol=2e-2,
@@ -131,7 +131,7 @@ def test_paged_flash_decode_virtual_token():
         q, kv_pages, 0, table, lens_arr, ppr * ps, k_new=k_new, v_new=v_new
     )
     got = paged_flash_decode(
-        q, kv_pages, 0, table, lens_arr, ppr * ps, interpret=True,
+        q, kv_pages, 0, table, lens_arr, interpret=True,
         k_new=k_new, v_new=v_new,
     )
     np.testing.assert_allclose(
@@ -209,7 +209,7 @@ def test_paged_flash_decode_int8_kv_kernel():
             q, kv_pages, layer, table, lens_arr, ppr * ps
         )
         got = paged_flash_decode(
-            q, kv_pages, layer, table, lens_arr, ppr * ps, interpret=True
+            q, kv_pages, layer, table, lens_arr, interpret=True
         )
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5,
@@ -234,7 +234,7 @@ def test_paged_flash_decode_int8_kv_kernel_narrow_head():
     q = jax.random.normal(jax.random.PRNGKey(5), (B, Nq, D), jnp.float32)
     want = ref.paged_decode_attention(q, kv_pages, 0, table, lens_arr, ppr * ps)
     got = paged_flash_decode(
-        q, kv_pages, 0, table, lens_arr, ppr * ps, interpret=True
+        q, kv_pages, 0, table, lens_arr, interpret=True
     )
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
@@ -275,7 +275,7 @@ def test_paged_flash_decode_int8_kv_kernel_virtual_token():
         q, kv_pages, 0, table, lens_arr, ppr * ps, k_new=k_new, v_new=v_new
     )
     got = paged_flash_decode(
-        q, kv_pages, 0, table, lens_arr, ppr * ps, interpret=True,
+        q, kv_pages, 0, table, lens_arr, interpret=True,
         k_new=k_new, v_new=v_new,
     )
     np.testing.assert_allclose(
@@ -299,7 +299,7 @@ def test_paged_flash_decode_fp8_kv():
             q, kv_pages, layer, table, lens_arr, ppr * ps
         )
         got = paged_flash_decode(
-            q, kv_pages, layer, table, lens_arr, ppr * ps, interpret=True
+            q, kv_pages, layer, table, lens_arr, interpret=True
         )
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=3e-3, atol=3e-3,
@@ -369,7 +369,7 @@ def test_paged_flash_decode_empty_slot():
     q = jax.random.normal(jax.random.PRNGKey(1), (B, Nq, D), jnp.float32)
     k_new = jax.random.normal(jax.random.PRNGKey(2), (B, Hkv, D), jnp.float32)
     got = paged_flash_decode(
-        q, kv_pages, 0, table, lens_arr, ppr * ps, interpret=True,
+        q, kv_pages, 0, table, lens_arr, interpret=True,
         k_new=k_new, v_new=k_new,
     )
     assert np.isfinite(np.asarray(got[0])).all()

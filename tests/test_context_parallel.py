@@ -63,7 +63,7 @@ def test_cp_decode_matches_replicated(quantized):
         )
         got = cp_paged_flash_decode(
             q, pool_sharded, layer, table, lens_arr, mesh,
-            max_seq_len=ppr * ps, interpret=True,
+            interpret=True,
         )
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5,
@@ -87,7 +87,7 @@ def test_cp_decode_narrow_head_int8():
     want = ref.paged_decode_attention(q, kv_pool, 0, table, lens_arr, ppr * ps)
     got = cp_paged_flash_decode(
         q, shard_pool(kv_pool, mesh), 0, table, lens_arr, mesh,
-        max_seq_len=ppr * ps, interpret=True,
+        interpret=True,
     )
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5
@@ -112,12 +112,12 @@ def test_cp_decode_virtual_new_token():
     k_new = jax.random.normal(jax.random.PRNGKey(6), (B, Hkv, D), jnp.float32)
     v_new = jax.random.normal(jax.random.PRNGKey(7), (B, Hkv, D), jnp.float32)
     want = paged_flash_decode(
-        q, kv_pool, 0, table, lens_arr, ppr * ps, interpret=True,
+        q, kv_pool, 0, table, lens_arr, interpret=True,
         k_new=k_new, v_new=v_new,
     )
     got = cp_paged_flash_decode(
         q, shard_pool(kv_pool, mesh), 0, table, lens_arr, mesh,
-        max_seq_len=ppr * ps, interpret=True, k_new=k_new, v_new=v_new,
+        interpret=True, k_new=k_new, v_new=v_new,
     )
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5
@@ -141,10 +141,112 @@ def test_cp_decode_empty_and_single_shard():
     want = ref.paged_decode_attention(q, kv_pool, 0, table, lens_arr, ppr * ps)
     got = cp_paged_flash_decode(
         q, shard_pool(kv_pool, mesh), 0, table, lens_arr, mesh,
-        max_seq_len=ppr * ps, interpret=True,
+        interpret=True,
     )
     got_np = np.asarray(got)
     assert np.isfinite(got_np[0]).all()
     np.testing.assert_allclose(
         got_np[0], np.asarray(want)[0], rtol=3e-5, atol=3e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-level context parallelism (VERDICT r3 next #3: CP wired into the
+# engine — mesh axis, pool sharding, decode routing, kv writes)
+
+
+def _cp_cfg():
+    from lite_llama_tpu.config import LlamaConfig
+
+    return LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        vocab_size=97, max_seq_len=128, dtype=jnp.float32, eos_token_id=96,
+    )
+
+
+def test_cp_engine_greedy_parity():
+    """A cp=4 engine (pool token rows sharded over the cp mesh axis,
+    decode routed through cp_paged_flash_decode inside the jitted chunk)
+    generates the same greedy tokens as the single-device engine, and its
+    pool is ACTUALLY row-sharded on the mesh."""
+    import lite_llama_tpu.ops as ops_mod
+    from lite_llama_tpu.executor.engine import InferenceEngine
+    from lite_llama_tpu.generation.generate import TextGenerator
+    from lite_llama_tpu.models.decoder import init_decoder_params
+    from lite_llama_tpu.parallel.shardings import make_mesh
+
+    cfg = _cp_cfg()
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(7)
+    # Multi-page prompts so requests straddle cp shard boundaries.
+    prompts = [rng.integers(0, 96, size=n).tolist() for n in (37, 22)]
+    prev = ops_mod._BACKEND
+    ops_mod.set_backend("pallas")  # identical decode kernel on both engines
+    try:
+        base = InferenceEngine(cfg, params, page_size=8, max_reqs=2,
+                               num_pages=64)
+        want = [
+            o.token_ids for o in TextGenerator(base).generate_tokens(
+                prompts, max_gen_len=6, temperature=0.0)
+        ]
+        mesh = make_mesh(cp=4)
+        assert mesh.axis_names == ("dp", "cp", "tp")
+        eng = InferenceEngine(cfg, params, page_size=8, max_reqs=2,
+                              num_pages=64, mesh=mesh)
+        pages = eng.cache.kv_pages.pages
+        local = pages.addressable_shards[0].data.shape
+        assert local[2] == pages.shape[2] // 4  # rows really sharded
+        got = [
+            o.token_ids for o in TextGenerator(eng).generate_tokens(
+                prompts, max_gen_len=6, temperature=0.0)
+        ]
+    finally:
+        ops_mod.set_backend(prev if prev else "auto")
+    assert got == want
+
+
+def test_cp_engine_chunked_prefill_long_prompt():
+    """Long prompts through the cp engine: chunked prefill takes the
+    GSPMD-partitionable XLA history path (force_ref — a pallas_call is
+    opaque to the row shard), decode runs cp-sharded; parity vs the
+    single-device engine on the same chunked configuration."""
+    import lite_llama_tpu.ops as ops_mod
+    from lite_llama_tpu.executor.engine import InferenceEngine
+    from lite_llama_tpu.generation.generate import TextGenerator
+    from lite_llama_tpu.models.decoder import init_decoder_params
+    from lite_llama_tpu.parallel.shardings import make_mesh
+
+    cfg = _cp_cfg()
+    params = init_decoder_params(cfg, jax.random.PRNGKey(1))
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(0, 96, size=n).tolist() for n in (70, 45)]
+    kw = dict(page_size=8, max_reqs=2, num_pages=64, prefill_chunk=32)
+    prev = ops_mod._BACKEND
+    ops_mod.set_backend("xla")  # chunked ref path on both engines
+    try:
+        base = InferenceEngine(cfg, params, **kw)
+        want = [
+            o.token_ids for o in TextGenerator(base).generate_tokens(
+                prompts, max_gen_len=5, temperature=0.0)
+        ]
+        eng = InferenceEngine(cfg, params, mesh=make_mesh(cp=4), **kw)
+        got = [
+            o.token_ids for o in TextGenerator(eng).generate_tokens(
+                prompts, max_gen_len=5, temperature=0.0)
+        ]
+    finally:
+        ops_mod.set_backend(prev if prev else "auto")
+    assert got == want
+
+
+def test_cp_engine_rejects_dp_tp_composition():
+    from lite_llama_tpu.executor.engine import InferenceEngine
+    from lite_llama_tpu.models.decoder import init_decoder_params
+    from lite_llama_tpu.parallel.shardings import make_mesh
+
+    cfg = _cp_cfg()
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="cp mesh axis"):
+        InferenceEngine(cfg, params, page_size=8, max_reqs=4, num_pages=64,
+                        mesh=make_mesh(cp=2, dp=2))

@@ -171,3 +171,194 @@ def test_int8_kv_engine_mesh_parity(tp, dp):
     assert sharded.cache.kv_pages.scales.ndim == 3
     got = _generate(sharded, prompts)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Pallas W4A8 kernel under tensor parallelism (VERDICT r3 next #1)
+
+
+@pytest.mark.parametrize("grouped", [None, 64], ids=["perchan", "g64"])
+def test_qmm_tp_wrapper_out_kind(grouped):
+    """kind='out' (byte axis tp-sharded): the manual-tp shard_map wrapper
+    == the single-device kernel bit for bit (x is replicated, so the
+    per-shard activation quantization is identical)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from lite_llama_tpu.ops.qmatmul import (
+        qmm_tp_supported, quantized_matmul_packed,
+        quantized_matmul_packed_tp,
+    )
+    from lite_llama_tpu.quant.qtensor import quantize
+
+    tp = 4
+    mesh = make_mesh(tp=tp, dp=2)
+    L, C, O = 2, 256, 4096  # Oh=2048, per-shard 512
+    ws = jax.random.normal(jax.random.PRNGKey(0), (L, C, O), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (5, C), jnp.float32)
+    qt = quantize(ws, (1,), jnp.int4, group_size=grouped)
+    nG = qt.scale.shape[-2] if qt.grouped else None
+    assert qmm_tp_supported("out", C, qt.q.shape[-1], nG, 5, tp)
+    q = jax.device_put(qt.q, NamedSharding(mesh, P(None, None, "tp")))
+    s_spec = P(None, None, "tp") if qt.grouped else P(None, "tp")
+    s = jax.device_put(qt.scale, NamedSharding(mesh, s_spec))
+    got = jax.jit(
+        lambda x, q, s: quantized_matmul_packed_tp(
+            x, q, s, jnp.asarray(1, jnp.int32), mesh, "out",
+            out_dtype=jnp.float32, interpret=True,
+        )
+    )(x, q, s)
+    want = quantized_matmul_packed(
+        x, qt.q, qt.scale, jnp.asarray(1, jnp.int32), interpret=True,
+        out_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("grouped", [None, 64], ids=["perchan", "g64"])
+def test_qmm_tp_wrapper_contract_kind(grouped):
+    """kind='contract' (C axis tp-sharded, psum): equals the exact
+    emulation — per shard, single-device kernel on the local (x, q, scale)
+    slices, summed — and stays within W4A8 tolerance of full precision."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from lite_llama_tpu.ops.qmatmul import (
+        qmm_tp_supported, quantized_matmul_packed,
+        quantized_matmul_packed_tp,
+    )
+    from lite_llama_tpu.quant.qtensor import quantize
+
+    tp = 4
+    mesh = make_mesh(tp=tp, dp=2)
+    L, C, O = 2, 1024, 256  # per-shard C=256
+    ws = jax.random.normal(jax.random.PRNGKey(0), (L, C, O), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (5, C), jnp.float32)
+    qt = quantize(ws, (1,), jnp.int4, group_size=grouped)
+    nG = qt.scale.shape[-2] if qt.grouped else None
+    assert qmm_tp_supported("contract", C, qt.q.shape[-1], nG, 5, tp)
+    q = jax.device_put(qt.q, NamedSharding(mesh, P(None, "tp", None)))
+    s_spec = P(None, "tp", None) if qt.grouped else P(None, None)
+    s = jax.device_put(qt.scale, NamedSharding(mesh, s_spec))
+    got = jax.jit(
+        lambda x, q, s: quantized_matmul_packed_tp(
+            x, q, s, jnp.asarray(0, jnp.int32), mesh, "contract",
+            out_dtype=jnp.float32, interpret=True,
+        )
+    )(x, q, s)
+    # exact emulation of the shard_map body
+    Cl = C // tp
+    nGl = (nG // tp) if qt.grouped else None
+    want = sum(
+        quantized_matmul_packed(
+            x[:, i * Cl : (i + 1) * Cl],
+            qt.q[:, i * Cl : (i + 1) * Cl],
+            qt.scale[:, i * nGl : (i + 1) * nGl] if qt.grouped else qt.scale,
+            jnp.asarray(0, jnp.int32), interpret=True,
+            out_dtype=jnp.float32,
+        )
+        for i in range(tp)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    full = jnp.einsum("bc,co->bo", x, qt.dequant(jnp.float32)[0])
+    rel = float(jnp.max(jnp.abs(got - full)) / jnp.max(jnp.abs(full)))
+    assert rel < 0.02, rel
+
+
+def _kernel_cfg():
+    """Shapes whose per-shard packed widths stay kernel-legal at tp=2
+    (Oh_local % 128 == 0 everywhere: fused qkv 512->256->128/shard,
+    gate_up I=512, lm_head V=1024)."""
+    return LlamaConfig(
+        hidden_size=256, intermediate_size=512, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=32,
+        vocab_size=1024, max_seq_len=64, dtype=jnp.float32,
+        eos_token_id=1023, tie_word_embeddings=False,
+    )
+
+
+def test_int4_kernel_engine_tp_logit_parity(monkeypatch):
+    """End to end: a tp=2 engine with packed-int4 weights routes its
+    matmuls through the Pallas W4A8 kernel via the manual-tp shard_map
+    (asserted by probe), and its prefill logits match the single-device
+    kernel engine within W4A8 per-shard activation-quant tolerance (the
+    contract-sharded matmuls fit each shard's int8 row scale to its own
+    slice, so exact bit parity is not expected; VERDICT r3 next #1)."""
+    import lite_llama_tpu.ops as ops_mod
+    from lite_llama_tpu.models.decoder import AttnContext, decoder_prefill
+    from lite_llama_tpu.ops import qmatmul as qmm
+
+    cfg = _kernel_cfg()
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    q4 = quantize_decoder_params(params, jnp.int4, group_size=64)
+    ids = jnp.asarray(
+        [[1, 2, 3, 4, 5, 0, 0, 0], [9, 8, 7, 0, 0, 0, 0, 0]], jnp.int32
+    )
+    lens = jnp.asarray([5, 3], jnp.int32)
+    ctx = AttnContext(
+        table_rows=jnp.asarray([[0, 1], [2, 3]], jnp.int32),
+        seq_lens=lens, start_pos=jnp.zeros((2,), jnp.int32),
+        chunk_lens=lens,
+    )
+    prev = ops_mod._BACKEND
+    ops_mod.set_backend("pallas")  # interpret mode on CPU (ops._interpret)
+    try:
+        base = InferenceEngine(cfg, q4, page_size=8, max_reqs=4,
+                               num_pages=32)
+        want, _ = jax.jit(
+            lambda p, c: decoder_prefill(p, cfg, c, ctx, input_ids=ids)
+        )(base.params, base.cache.kv_pages)
+
+        calls = []
+        real = qmm.quantized_matmul_packed_tp
+
+        def probe(*a, **k):
+            calls.append(k.get("kind") or a[5])
+            return real(*a, **k)
+
+        monkeypatch.setattr(qmm, "quantized_matmul_packed_tp", probe)
+        sharded = InferenceEngine(
+            cfg, q4, page_size=8, max_reqs=4, num_pages=32,
+            mesh=make_mesh(tp=2, dp=1),
+        )
+        got, _ = jax.jit(
+            lambda p, c: decoder_prefill(
+                p, cfg, c, ctx, input_ids=ids, shard=sharded._mshard
+            )
+        )(sharded.params, sharded.cache.kv_pages)
+    finally:
+        ops_mod.set_backend(prev if prev else "auto")
+    assert {"out", "contract"} <= set(calls), calls
+    a, b = np.asarray(want), np.asarray(got)
+    assert np.abs(a - b).max() < 0.03 * np.abs(a).max(), (
+        np.abs(a - b).max(), np.abs(a).max()
+    )
+
+
+def test_int4_kernel_engine_tp_dp_token_parity():
+    """tp=2 x dp=2 (manual-dp shard_map OUTSIDE, manual-tp shard_map
+    INSIDE — the nested partial-manual pattern) generates EXACTLY the
+    tokens of the tp=2 dp=1 kernel engine: dp splits requests without
+    touching the math, so this parity is bit-exact even though W4A8
+    per-shard activation quantization keeps tp engines off bit parity
+    with the single-chip engine."""
+    import lite_llama_tpu.ops as ops_mod
+
+    cfg = _kernel_cfg()
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    q4 = quantize_decoder_params(params, jnp.int4, group_size=64)
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7], [3, 1], [5, 5, 5, 5]]
+    prev = ops_mod._BACKEND
+    ops_mod.set_backend("pallas")
+    try:
+        tp_only = InferenceEngine(
+            cfg, q4, page_size=8, max_reqs=4, num_pages=32,
+            mesh=make_mesh(tp=2, dp=1),
+        )
+        want = _generate(tp_only, prompts)
+        nested = InferenceEngine(
+            cfg, q4, page_size=8, max_reqs=8, num_pages=64,
+            mesh=make_mesh(tp=2, dp=2),
+        )
+        got = _generate(nested, prompts)
+    finally:
+        ops_mod.set_backend(prev if prev else "auto")
+    assert got == want
