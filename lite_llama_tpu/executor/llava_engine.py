@@ -97,32 +97,89 @@ class LlavaEngine(InferenceEngine):
         sampling,
         slots,
     ):
+        """Blocking multimodal prefill (dispatch + collect). Returns
+        (first_tokens [B] np, expanded_lens [B] np, last_logits [B, V] np,
+        logprobs [B] np)."""
+        bundle = self.prefill_multimodal_async(
+            token_lists, pixel_values, sampling, slots
+        )
+        return self.prefill_collect(bundle)
+
+    def prefill_multimodal_async(
+        self,
+        token_lists: Sequence[Sequence[int]],
+        pixel_values: Optional[np.ndarray],
+        sampling,
+        slots,
+        min_width: int = 1,
+    ):
+        """Dispatch the jitted multimodal prefill WITHOUT blocking; returns
+        an engine._PrefillBundle (same contract as prefill_async) whose
+        ``lens`` are the EXPANDED lengths — what the KV pool actually holds
+        after image-token expansion — so the serving scheduler can splice
+        image requests into the resident decode session exactly like text
+        requests (VERDICT r3 next #5: multimodal continuous batching).
+
+        ``min_width`` pads the row count so every admission size reuses one
+        compiled (W, S) mode; pad rows carry req id == max_reqs (dropped by
+        the allocator's OOB scatter) and a blank image."""
+        from .engine import _PrefillBundle
+
         B = len(token_lists)
-        raw_lens = np.asarray([len(t) for t in token_lists], np.int32)
-        exp_lens = np.asarray(self.expanded_lens(token_lists), np.int32)
+        # Pow2-bucketed rows (pad rows run a BLANK image through the tower,
+        # so unlike the text path the pad cost is real vision compute —
+        # bucket instead of pinning one full width).
+        W = max(next_pow2(B), min(min_width, self.max_reqs))
+        raw_lens = np.zeros((W,), np.int32)
+        raw_lens[:B] = [len(t) for t in token_lists]
+        exp_lens = np.zeros((W,), np.int32)
+        exp_lens[:B] = self.expanded_lens(token_lists)
         S = next_pow2(int(exp_lens.max()))
-        ids = np.full((B, S), self.pad_id, np.int32)
+        ids = np.full((W, S), self.pad_id, np.int32)
         for i, t in enumerate(token_lists):
             ids[i, : len(t)] = t
-        if pixel_values is None:
-            vc = self.config.vision_config
-            pixel_values = np.zeros(
-                (B, vc.num_channels, vc.image_size, vc.image_size), np.float32
-            )
-            has_image = np.zeros((B,), bool)
-        else:
-            has_image = exp_lens != raw_lens
+        vc = self.config.vision_config
+        px = np.zeros(
+            (W, vc.num_channels, vc.image_size, vc.image_size), np.float32
+        )
+        has_image = np.zeros((W,), bool)
+        if pixel_values is not None:
+            px[:B] = pixel_values
+            has_image[:B] = exp_lens[:B] != raw_lens[:B]
+        req = np.full((W,), self.max_reqs, np.int32)
+        req[:B] = slots
+
+        def pad1(x, fill, dtype):
+            out = np.full((W,), fill, dtype)
+            out[:B] = np.asarray(x)
+            return jnp.asarray(out)
+
+        from ..generation.sampling import SamplingParams
+
+        sampling = SamplingParams(
+            temperature=pad1(sampling.temperature, 1.0, np.float32),
+            top_p=pad1(sampling.top_p, 1.0, np.float32),
+            top_k=pad1(sampling.top_k, 0, np.int32),
+        )
         self.cache, tok, last, lp = self._mm_prefill_jit(
             self.params,
             self.cache,
             jnp.asarray(ids),
             jnp.asarray(raw_lens),
             jnp.asarray(exp_lens),
-            jnp.asarray(slots, jnp.int32),
-            jnp.asarray(pixel_values),
+            jnp.asarray(req),
+            jnp.asarray(px),
             jnp.asarray(has_image),
             self._next_key(),
             sampling,
         )
         self.stats.prefill_tokens += int(exp_lens.sum())
-        return np.asarray(tok), exp_lens, last, np.asarray(lp)
+        self._slot_filled.update(slots)
+        packed = jnp.stack(
+            [tok.astype(jnp.int32),
+             jax.lax.bitcast_convert_type(lp.astype(jnp.float32), jnp.int32)]
+        )
+        return _PrefillBundle(
+            packed=packed, tok_dev=tok, pos=np.arange(B, dtype=np.int64),
+            lens=exp_lens, last=last,
+        )

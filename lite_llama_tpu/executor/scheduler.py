@@ -41,6 +41,14 @@ class Request:
     temperature: float = 0.6
     top_p: float = 0.9
     top_k: int = 0
+    # Multimodal: preprocessed pixel tensor [3, S, S] (LlavaEngine only);
+    # prompt_tokens then contain one <image> placeholder that prefill
+    # expands to num_image_patches rows (VERDICT r3 next #5).
+    pixel_values: Optional[object] = None
+    # Effective prompt length in the KV pool: the image-token-EXPANDED
+    # length for multimodal requests, len(prompt_tokens) otherwise. Set at
+    # admission; all room/stop accounting uses this.
+    eff_prompt_len: int = 0
     # runtime state
     slot: Optional[int] = None
     output_tokens: List[int] = dataclasses.field(default_factory=list)
@@ -97,15 +105,19 @@ class ContinuousBatchingScheduler:
             "top_p": np.full((M,), 0.9, np.float32),
             "top_k": np.zeros((M,), np.int32),
         }
-        # Device-resident decode session (engine.DecodeSession): rebuilt
-        # (re-uploaded) ONLY when batch membership changes — admission or
-        # completion sets _session_dirty. Between changes, chunks run with
-        # zero host->device uploads, which is what closed the serving-vs-
-        # batch-loop throughput gap on tunneled devices (VERDICT r2 next #6).
+        # Device-resident decode session (engine.DecodeSession): built ONCE
+        # full-width (all rows masked done) and never rebuilt — admissions
+        # splice their rows in on device (engine.update_session_rows) fed
+        # directly by the async prefill's on-device first tokens, so the
+        # admission path has NO blocking download and decode chunks keep
+        # dispatching (VERDICT r3 next #2: prefill/decode co-scheduling).
         self._session = None
         self._session_live: List[int] = []
-        self._session_dirty = True
-        self._inflight = None  # dispatched-but-unprocessed decode chunk
+        self._inflight = None  # (bundle, {slot: Request}) decode chunk
+        # Dispatched-but-uncollected prefills: (requests, bundle) pairs.
+        # Collected at the next drain — after the following decode chunk
+        # has been dispatched, so the fetch overlaps device work.
+        self._pending_prefills: List[tuple] = []
         # EOS ids are immutable for the engine's lifetime; _eos_ids() sits
         # on the host path that overlaps device decode.
         self._eos_cache = None
@@ -114,6 +126,7 @@ class ContinuousBatchingScheduler:
     def submit(
         self, prompt_tokens: Sequence[int], max_gen_len: int = 128,
         temperature: float = 0.6, top_p: float = 0.9, top_k: int = 0,
+        pixel_values=None,
     ) -> int:
         r = Request(
             req_id=next(self._ids),
@@ -122,6 +135,7 @@ class ContinuousBatchingScheduler:
             temperature=temperature,
             top_p=top_p,
             top_k=top_k,
+            pixel_values=pixel_values,
             submitted_at=time.perf_counter(),
         )
         self.waiting.append(r)
@@ -142,36 +156,42 @@ class ContinuousBatchingScheduler:
 
     # -- one scheduler iteration ---------------------------------------------
     def step(self, on_tokens: Optional[Callable] = None) -> None:
-        """PIPELINED iteration: dispatch decode chunk k (async), then
-        process chunk k-1's downloaded results and run admissions while the
-        device executes k. Host bookkeeping and prefill thereby overlap
-        device decode; the device serializes them itself through the cache
-        buffer's data dependencies. Mirrors lag the in-flight chunk by one
-        step — safe because finished rows self-mask on device (full-width
-        sessions) and a session rebuild (admission) first drains the
-        pipeline."""
-        if (not self.running or self._chunks_since_admit >= self.admit_every
-                ) and (self.waiting or not self.running):
-            # Drain-before-admit is a pipeline BARRIER (mirrors must be
-            # current before a session rebuild) — skip it when the waiting
-            # queue is empty and decode is running: _admit would no-op and
-            # the barrier would idle the device for a host round-trip.
-            self._drain(on_tokens)  # admissions rebuild: sync mirrors first
-            self._admit(on_tokens)
+        """PIPELINED iteration: admit waiting requests (async — prefill
+        dispatch + device-side session-row splice, no download), dispatch
+        decode chunk k, then process chunk k-1's downloaded results while
+        the device executes k. The device serializes prefill -> splice ->
+        chunk through the session/cache buffers' data dependencies; the
+        host never blocks between a completion and the next dispatch.
+
+        When admission finds no free capacity, it drains the pipeline once
+        (to learn about completions freeing slots/pages) and retries — the
+        only remaining admission barrier, and it only fires when the engine
+        is actually full."""
+        if self.waiting and (
+            not self.running or self._chunks_since_admit >= self.admit_every
+        ):
+            admitted = self._admit(on_tokens)
+            if not admitted and (self._inflight or self._pending_prefills):
+                # Engine looked full with host-stale accounting: sync once
+                # and retry (completions in the drained chunk free slots).
+                self._drain(on_tokens)
+                self._admit(on_tokens)
         if self.running:
             self._decode_chunk(on_tokens)
             self._chunks_since_admit += 1
-        elif self._inflight is not None:
+        elif self._inflight is not None or self._pending_prefills:
             self._drain(on_tokens)
 
     def _drain(self, on_tokens=None) -> None:
-        """Process the in-flight chunk's results, if any."""
+        """Collect pending prefills (first tokens), then the in-flight
+        decode chunk's results, if any — in device-completion order."""
+        self._collect_prefills(on_tokens)
         if self._inflight is None:
             return
-        bundle = self._inflight
+        bundle, snapshot = self._inflight
         self._inflight = None
         self._process_chunk(*self.engine.collect_decode_chunk(bundle),
-                            on_tokens=on_tokens)
+                            snapshot=snapshot, on_tokens=on_tokens)
 
     # -- internals ------------------------------------------------------------
     def _reject(self, r: Request, reason: str) -> None:
@@ -180,12 +200,26 @@ class ContinuousBatchingScheduler:
         r.finished_at = time.perf_counter()
         self.done.append(r)
 
-    def _admit(self, on_tokens=None) -> None:
+    def _admit(self, on_tokens=None) -> bool:
+        """Admit up to max_prefill_batch waiting requests WITHOUT blocking:
+        dispatch the prefill (async), splice the new rows into the resident
+        session on device (the prefill's first tokens never visit the
+        host on this path), and queue the bundle for first-token collection
+        at the next drain. Returns whether anything was admitted."""
         self._chunks_since_admit = 0
         eng = self.engine
         batch: List[Request] = []
         while self.waiting and len(batch) < self.max_prefill_batch:
             r = self.waiting[0]
+            # Effective prompt length in the KV pool: multimodal prompts
+            # expand their <image> placeholder to num_image_patches rows.
+            eff = len(r.prompt_tokens)
+            if r.pixel_values is not None:
+                if not hasattr(eng, "expanded_lens"):
+                    self.waiting.popleft()
+                    self._reject(r, "rejected_multimodal_unsupported")
+                    continue
+                eff = int(eng.expanded_lens([r.prompt_tokens])[0])
             # Reject impossible requests UP FRONT instead of waiting forever
             # for room that can never exist: a prompt that fills (or
             # overflows) max_seq_len would desynchronize the host page
@@ -193,26 +227,49 @@ class ContinuousBatchingScheduler:
             # prompt length); a request whose clamped footprint exceeds one
             # dp group's whole pool would spin run() in a busy-loop (the
             # batch path raises RuntimeError for the same condition).
-            max_total = min(
-                len(r.prompt_tokens) + r.max_gen_len, eng.config.max_seq_len
-            )
-            if (
-                len(r.prompt_tokens) >= eng.config.max_seq_len
-                or not eng.admit_feasible(max_total)
+            max_total = min(eff + r.max_gen_len, eng.config.max_seq_len)
+            if eff >= eng.config.max_seq_len or not eng.admit_feasible(
+                max_total
             ):
                 self.waiting.popleft()
                 self._reject(r, "rejected_too_long")
                 continue
-            # Atomic slot + page placement (group-aware under dp).
-            slot = eng.try_admit(max_total, r.prompt_tokens)
+            # Atomic slot + page placement (group-aware under dp). Prefix
+            # caching keys on raw prompt tokens — skip it for multimodal
+            # prompts (their KV depends on the image, not just tokens).
+            slot = eng.try_admit(
+                max_total,
+                r.prompt_tokens if r.pixel_values is None else None,
+            )
             if slot is None:
                 break  # not enough KV room yet; wait for completions
             r.max_total = max_total
+            r.eff_prompt_len = eff
             r.slot = slot
             self.waiting.popleft()
             batch.append(r)
         if not batch:
-            return
+            return False
+        self._ensure_session()
+        # Text and image requests prefill through different jitted programs;
+        # dispatch each sub-batch, then splice both into the session.
+        text = [r for r in batch if r.pixel_values is None]
+        mm = [r for r in batch if r.pixel_values is not None]
+        if text:
+            self._dispatch_sub(text, multimodal=False)
+        if mm:
+            self._dispatch_sub(mm, multimodal=True)
+        # Sampling mode is static per chunk executable: upgrade sticky if
+        # any live row needs the exact path (downgrades happen at the next
+        # admission whose live set is approx-eligible — exact is always
+        # correct, just slower).
+        self._session.mode = self._live_mode()
+        return True
+
+    def _dispatch_sub(self, batch: List[Request], multimodal: bool) -> None:
+        """Dispatch one prefill sub-batch (async) and splice its rows into
+        the resident session; first tokens flow prefill -> session on
+        device with no host round trip."""
         slots = [r.slot for r in batch]
         # Convert through numpy: jnp.asarray on a PYTHON list compiles a
         # tiny convert_element_type per distinct batch size — usually
@@ -229,26 +286,43 @@ class ContinuousBatchingScheduler:
                 np.asarray([r.top_k for r in batch], np.int32)
             ),
         )
-        first_tok, lens, _, lp0 = self.engine.prefill(
-            [r.prompt_tokens for r in batch], sampling, slots,
-            # Pin the prefill width: every admission batch (1..max_prefill_
-            # batch requests) reuses ONE compiled width — dummy rows are
-            # near-free on device, a fresh (W, S) prefill mode is a ~50 s
-            # remote compile.
-            min_width=self.max_prefill_batch,
-        )
-        now = time.perf_counter()
+        if multimodal:
+            bundle = self.engine.prefill_multimodal_async(
+                [r.prompt_tokens for r in batch],
+                np.stack([np.asarray(r.pixel_values) for r in batch]),
+                sampling, slots,
+            )
+        else:
+            bundle = self.engine.prefill_async(
+                [r.prompt_tokens for r in batch], sampling, slots,
+                # Pin the prefill width: every admission batch (1..max_
+                # prefill_batch requests) reuses ONE compiled width — dummy
+                # rows are near-free on device, a fresh (W, S) prefill mode
+                # is a ~50 s remote compile.
+                min_width=self.max_prefill_batch,
+            )
+        # Splice the admitted rows into the resident session. Host arrays
+        # pad to the pinned width so ONE compiled update serves every
+        # admission size (row M is an OOB scatter index -> dropped).
+        W = self.max_prefill_batch
+        M = self.engine.max_reqs
+        rows = np.full((W,), M, np.int32)
+        bidx = np.zeros((W,), np.int64)
+        plens = np.zeros((W,), np.int32)
+        stops = np.zeros((W,), np.int32)
+        temps = np.ones((W,), np.float32)
+        tps = np.ones((W,), np.float32)
+        tks = np.zeros((W,), np.int32)
         for i, (r, slot) in enumerate(zip(batch, slots)):
-            r.slot = slot
+            rows[i] = slot
+            bidx[i] = i
+            plens[i] = r.eff_prompt_len
+            stops[i] = r.max_total
+            temps[i] = r.temperature
+            tps[i] = r.top_p
+            tks[i] = r.top_k
             r.state = "running"
-            r.first_token_at = now
-            tok = int(first_tok[i])
-            r.output_tokens.append(tok)
-            r.output_logprobs.append(float(lp0[i]))
-            if on_tokens:
-                on_tokens(r, [tok])  # the prefill-sampled first token
             self.running[slot] = r
-            self._tok[slot] = tok
             self._stop_lens[slot] = r.max_total
             for k, v in (
                 ("temperature", r.temperature),
@@ -256,72 +330,107 @@ class ContinuousBatchingScheduler:
                 ("top_k", r.top_k),
             ):
                 self._samp_host[k][slot] = v
-            done_now = (
-                tok in self._eos_ids() or len(r.prompt_tokens) + 1 >= r.max_total
-            )
-            self._done_mask[slot] = done_now
-            if done_now:
-                self._finish(r, "stop" if tok in self._eos_ids() else "length")
-        self._session_dirty = True  # membership changed
+        self.engine.update_session_rows(
+            self._session, rows, bundle, bidx, plens, stops, temps, tps, tks,
+        )
+        self._pending_prefills.append((batch, bundle))
+
+    def _live_mode(self) -> str:
+        from ..generation.sampling import needs_exact_sampling
+
+        live = np.asarray(sorted(self.running), np.int64)
+        if live.size == 0:
+            return "approx"
+        return "exact" if needs_exact_sampling(
+            self._samp_host["temperature"][live],
+            self._samp_host["top_p"][live],
+            self._samp_host["top_k"][live],
+        ) else "approx"
+
+    def _ensure_session(self) -> None:
+        """Build the resident FULL-WIDTH session once: every slot rides in
+        it with empty rows masked done; admissions splice rows in on device
+        and completions advance done flags on device — no rebuild ever."""
+        if self._session is not None:
+            return
+        M = self.engine.max_reqs
+        live = list(range(M))
+        sampling = SamplingParams(
+            temperature=jnp.asarray(self._samp_host["temperature"]),
+            top_p=jnp.asarray(self._samp_host["top_p"]),
+            top_k=jnp.asarray(self._samp_host["top_k"]),
+        )
+        self._session = self.engine.start_decode_session(
+            live, self._tok, np.ones((M,), bool), self._stop_lens.tolist(),
+            sampling,
+        )
+        self._session_live = live
+
+    def _collect_prefills(self, on_tokens=None) -> None:
+        """Fetch first tokens of dispatched prefills (device work long done
+        by now — the following decode chunk was dispatched first) and run
+        the host-side bookkeeping the async admission deferred."""
+        if not self._pending_prefills:
+            return
+        pending, self._pending_prefills = self._pending_prefills, []
+        eos = self._eos_ids()
+        for batch, bundle in pending:
+            first_tok, _, _, lp0 = self.engine.prefill_collect(bundle)
+            now = time.perf_counter()
+            for i, r in enumerate(batch):
+                if r.state != "running":
+                    continue
+                r.first_token_at = now
+                tok = int(first_tok[i])
+                r.output_tokens.append(tok)
+                r.output_logprobs.append(float(lp0[i]))
+                if on_tokens:
+                    on_tokens(r, [tok])
+                self._tok[r.slot] = tok
+                done_now = (
+                    tok in eos or r.eff_prompt_len + 1 >= r.max_total
+                )
+                self._done_mask[r.slot] = done_now
+                if done_now:
+                    self._finish(r, "stop" if tok in eos else "length")
 
     def _decode_chunk(self, on_tokens) -> None:
         """Dispatch one decode chunk against the FULL-WIDTH resident
         session, then process the previous chunk's results (pipelined).
 
         Every slot rides in the session with finished/empty rows masked
-        done, so ONE chunk executable serves the whole run and completions
-        never rebuild the session (done flags advance on device) — only
-        admissions re-upload state. The padded-row cost at low occupancy
-        is deliberate: serving paid far more for per-width executables and
-        per-completion rebuild uploads than for masked rows (the earlier
-        adaptive-width design rebuilt nearly every chunk)."""
+        done, so ONE chunk executable serves the whole run; completions
+        advance done flags on device and admissions splice rows in on
+        device — the session is never rebuilt. The padded-row cost at low
+        occupancy is deliberate: serving paid far more for per-width
+        executables and rebuild uploads than for masked rows."""
         eng = self.engine
-        M = eng.max_reqs
-        if self._session_dirty:
-            # FULL-WIDTH session: cover every slot, finished/empty rows
-            # masked done. Completions then never invalidate the session
-            # (the done flags already advance on device), so rebuilds —
-            # each a handful of blocking uploads through the tunnel —
-            # happen only on admission. The old live-only session rebuilt
-            # almost every chunk (any completion changed membership) and
-            # re-specialized the chunk executable per pow2 width.
-            live = list(range(M))
-            sampling = SamplingParams(
-                temperature=jnp.asarray(self._samp_host["temperature"]),
-                top_p=jnp.asarray(self._samp_host["top_p"]),
-                top_k=jnp.asarray(self._samp_host["top_k"]),
-            )
-            self._session = eng.start_decode_session(
-                live,
-                self._tok,
-                self._done_mask.copy(),
-                self._stop_lens.tolist(),
-                sampling,
-            )
-            self._session_live = live
-            self._session_dirty = False
-        if not self._session_live or self._session is None:
-            return
-        # Pipeline: enqueue chunk k (async dispatch), THEN process chunk
-        # k-1's results while the device runs k.
+        self._ensure_session()
+        # Pipeline: enqueue chunk k (async dispatch) with a SNAPSHOT of the
+        # requests occupying each slot at dispatch time (an admission may
+        # reuse a slot before chunk k's results are processed — results
+        # must never leak across occupancies), THEN process chunk k-1's
+        # results while the device runs k.
         nxt = eng.dispatch_decode_chunk(self._session, self.chunk_steps)
+        snapshot = dict(self.running)
         self._drain(on_tokens)
-        self._inflight = nxt
+        self._inflight = (nxt, snapshot)
 
-    def _process_chunk(self, toks, lps, new_done, on_tokens=None) -> None:
+    def _process_chunk(self, toks, lps, new_done, snapshot=None,
+                       on_tokens=None) -> None:
         live = self._session_live
-        # Token mirrors stay current WITHOUT an extra download: for rows
-        # that are not done, every emission this chunk is real, so the last
-        # row holds the current next-token (finished rows' values are
-        # irrelevant — they leave the live set).
-        self._tok[np.asarray(live, np.int32)] = toks[-1, :]
         eos = self._eos_ids()
+        src = snapshot if snapshot is not None else self.running
         finished: List[Request] = []
         for col, slot in enumerate(live):
-            r = self.running.get(slot)
-            if r is None:  # empty/finished slot riding masked in the session
-                continue
-            room = r.max_total - len(r.prompt_tokens) - len(r.output_tokens)
+            r = src.get(slot)
+            if r is None or r.state != "running":
+                continue  # empty slot, or occupant changed/finished
+            # Host token/done mirrors (debug/observability only now —
+            # device state is authoritative) update per live row so a
+            # stale chunk never overwrites a re-admitted slot's mirror.
+            self._tok[slot] = toks[-1, col]
+            room = r.max_total - r.eff_prompt_len - len(r.output_tokens)
             row = [int(t) for t in toks[:, col]][: max(room, 0)]
             emitted = []
             for t in row:
@@ -335,7 +444,7 @@ class ContinuousBatchingScheduler:
             if on_tokens and emitted:
                 on_tokens(r, emitted)
             hit_eos = bool(emitted and emitted[-1] in eos)
-            out_len = len(r.prompt_tokens) + len(r.output_tokens)
+            out_len = r.eff_prompt_len + len(r.output_tokens)
             if hit_eos or out_len >= r.max_total or new_done[col]:
                 finished.append(r)
             self._done_mask[slot] = bool(new_done[col])
@@ -353,7 +462,7 @@ class ContinuousBatchingScheduler:
             self._done_mask[r.slot] = True
             # No session rebuild: the full-width session's done flags
             # already advanced on device; the freed slot's row stays masked
-            # until an admission (which does set _session_dirty) reuses it.
+            # until an admission splices a new request into it.
         self.done.append(r)
 
     def _eos_ids(self) -> set:
