@@ -20,14 +20,18 @@ from __future__ import annotations
 
 import argparse
 import functools
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, iters=30):
+def timeit(fn, *args, iters=20):
     out = fn(*args)
     jax.block_until_ready(out)
     ts = []
@@ -92,6 +96,7 @@ def main():
 
     t_chunk = timeit(run_chunk, iters=max(4, args.steps // n))
     rows["chunk/step"] = t_chunk / n
+    print(f"chunk/step {rows['chunk/step']:.3f} ms", flush=True)
 
     # -- one bare decode step (forward + sample, no scan/alloc) ------------
     cache = engine.cache
@@ -114,6 +119,7 @@ def main():
     rows["fwd(step, no sample)"] = timeit(
         functools.partial(step_fwd, engine.params, cache.kv_pages), tok
     )
+    print(f"fwd {rows['fwd(step, no sample)']:.3f} ms", flush=True)
 
     @jax.jit
     def step_full(params, pages, tok, key):
@@ -124,6 +130,7 @@ def main():
     rows["fwd+sample"] = timeit(
         functools.partial(step_full, engine.params, cache.kv_pages), tok, key
     )
+    print(f"fwd+sample {rows['fwd+sample']:.3f} ms", flush=True)
 
     # -- matmuls only -------------------------------------------------------
     L = cfg.num_hidden_layers
@@ -158,6 +165,7 @@ def main():
         return out
 
     rows["matmuls (all layers)"] = timeit(all_layers_matmuls, x)
+    print(f"matmuls {rows['matmuls (all layers)']:.3f} ms", flush=True)
 
     # -- unembed ------------------------------------------------------------
     from lite_llama_tpu.models.decoder import _unembed
@@ -167,6 +175,7 @@ def main():
         return _unembed(engine.params, cfg, x)
 
     rows["unembed"] = timeit(unembed, x)
+    print(f"unembed {rows['unembed']:.3f} ms", flush=True)
 
     # -- attention only (all layers) ----------------------------------------
     k_new = jnp.zeros(
@@ -188,6 +197,7 @@ def main():
         return out
 
     rows["attention (all layers)"] = timeit(attn_all_layers, qh, cache.kv_pages)
+    print(f"attention {rows['attention (all layers)']:.3f} ms", flush=True)
 
     # -- sampling / logprobs --------------------------------------------------
     logits = jnp.zeros((B, cfg.vocab_size), jnp.float32)
@@ -198,6 +208,7 @@ def main():
         return t, log_softmax_gather(logits, t)
 
     rows["sample+logprob"] = timeit(samp_only, logits, key)
+    print(f"sample {rows['sample+logprob']:.3f} ms", flush=True)
 
     # -- kv write + alloc ----------------------------------------------------
     from lite_llama_tpu.executor.kv_cache import alloc_decode, kv_write_decode_all
@@ -216,6 +227,7 @@ def main():
         return c.seq_lens, pages.pages.shape
 
     rows["alloc+kv_write"] = timeit(lambda c: kv_ops(c)[0], cache)
+    print(f"alloc+kv {rows['alloc+kv_write']:.3f} ms", flush=True)
 
     print(f"\nconfig: {args.model} int4(sigma,g128)+int8KV  B={B}  "
           f"backend={jax.default_backend()}")

@@ -222,12 +222,21 @@ class InferenceEngine:
                     "breaks the decoder scan's carry dtype)"
                 )
         if fuse_qkv is None:
-            # Measured on v5e (A/B at the north-star config): fusing Q+KV
-            # into one matmul is ~1% SLOWER single-chip (the post-dot split
-            # slices cost more fusion opportunity than the saved weight-pass
-            # issue), but under tensor parallelism one dot means one clean
-            # sharded matmul + collective pattern — fuse only there.
-            fuse_qkv = self.shard.tp > 1
+            # Measured on v5e (A/B at the north-star config): for BF16
+            # weights fusing Q+KV is ~1% SLOWER single-chip (the post-dot
+            # split slices cost more fusion opportunity than the saved
+            # weight-pass issue), but for PACKED INT4 weights each pallas
+            # launch carries ~3.3 us fixed cost, so one fused launch beats
+            # two (5.32 -> 5.24 ms/step at the int4+int8KV bs=12 config —
+            # round-4 anatomy); under tensor parallelism one dot also means
+            # one clean sharded matmul + collective pattern.
+            from ..quant.qtensor import QTensor as _QT
+
+            wq = params.get("layers", params.get("lm", {}).get(
+                "layers", {})).get("wq")
+            fuse_qkv = self.shard.tp > 1 or (
+                isinstance(wq, _QT) and wq.packed
+            )
         if fuse_qkv:
             # One [H, (Nq+2*Nkv)*D] matmul per layer instead of separate
             # q / kv dots (shard-periodic head order; models/decoder.py).

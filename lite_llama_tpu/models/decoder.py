@@ -253,10 +253,33 @@ def _project_qkv(cfg, lp, x, shard):
 
 
 def _mlp(cfg, lp, x, shard):
-    gu = qeinsum("...h,chi->...ci", x, lp["gate_up_proj"], shard=shard,
-                 tp_kind="out")
-    gu = shard.ffn(gu)
-    out = ops.swiglu(gu[..., 0, :], gu[..., 1, :])
+    w = lp["gate_up_proj"]
+    # Flat σ layout is [L, C, 2I] (single stack axis); the canonical
+    # quantized layout keeps the (L, 2) stack ([L, 2, C, I], n_stack=2).
+    if isinstance(w, QTensor) and w.n_stack == 1:
+        # σ-FFN flat layout [L, H, 2I] (gate|up cols; quantize_decoder_
+        # params sigma_ffn): ONE kernel launch; σ (no-interleave) output is
+        # the quarters [ge | ue | go | uo] — swiglu the even and odd
+        # quarters independently and the products land in exactly the σ
+        # row order down_proj was quantized for (sigma_in).
+        y = qeinsum("...h,hj->...j", x, w, shard=shard, tp_kind="out")
+        y = shard.ffn(y)
+        if w.sigma_out:
+            q = y.shape[-1] // 4
+            out = jnp.concatenate(
+                [
+                    ops.swiglu(y[..., :q], y[..., q : 2 * q]),
+                    ops.swiglu(y[..., 2 * q : 3 * q], y[..., 3 * q :]),
+                ],
+                axis=-1,
+            )
+        else:
+            half = y.shape[-1] // 2
+            out = ops.swiglu(y[..., :half], y[..., half:])
+    else:
+        gu = qeinsum("...h,chi->...ci", x, w, shard=shard, tp_kind="out")
+        gu = shard.ffn(gu)
+        out = ops.swiglu(gu[..., 0, :], gu[..., 1, :])
     return shard.hidden(
         qeinsum("...i,ih->...h", out, lp["down_proj"], shard=shard,
                 tp_kind="contract")

@@ -63,28 +63,47 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+import os
+
+# Output-block ceiling for the packed kernel (A/B knob; measured on v5e:
+# see docs/performance_optimization.md round-4 anatomy).
+_BO_MAX = int(os.environ.get("LITE_LLAMA_TPU_QMM_BO", "512"))
+
+
 def _pick_block(n: int, candidates=(512, 256, 128)) -> int | None:
     for b in candidates:
-        if n % b == 0:
+        if b <= _BO_MAX and n % b == 0:
             return b
     return None
+
+
+_BC_MAX = int(os.environ.get("LITE_LLAMA_TPU_QMM_BC", "4096"))
 
 
 def _pick_bc(C: int, n_groups: int | None) -> int | None:
     """Contraction block size. Mosaic requires the scale block's
     second-to-last dim (GB = BC/group_size) to be a multiple of 8 OR the
-    whole group axis — so grouped scales take BC = 8*gs when it divides C,
-    else the whole C as one block (still pipelined over the nO grid dim;
-    capped so the int8 weight tile stays ≤ ~2 MB of VMEM)."""
+    whole group axis — grouped scales take the LARGEST multiple of 8*gs
+    that divides C under the tile cap (shallow grids with 8*gs-deep blocks
+    measured DMA-latency-bound: the 3B wq matmul streamed at ~340 GB/s with
+    BC=1024 vs ~2x that with the full-C block — round-4 anatomy), falling
+    back to the whole C as one block (always legal)."""
     if n_groups is None or n_groups == 1:
         # Per-channel scales have no GB constraint: prefer bigger C blocks
         # (1-2 MB int8 tiles) — 512-deep blocks measurably understream HBM.
-        return _pick_block(C, (2048, 1024, 512, 256, 128))
+        return _pick_block(C, (4096, 2048, 1024, 512, 256, 128))
     gs = C // n_groups
     if gs == 0 or C % gs != 0:
         return None
-    if C % (8 * gs) == 0:
-        return 8 * gs
+    base = 8 * gs
+    if C % base == 0:
+        best = base
+        m = 2
+        while m * base <= min(C, _BC_MAX):
+            if C % (m * base) == 0:
+                best = m * base
+            m += 1
+        return best
     if C <= 4096:
         return C  # GB == nG: "equal to the full dim" is always legal
     return None

@@ -149,6 +149,10 @@ class ShardingPolicy:
                         "the canonical axis — quantize with sigma_ffn=False "
                         "for tp>1 (quant/qtensor.quantize_decoder_params)"
                     )
+                if name == "gate_up_proj" and leaf.q.ndim == 3:
+                    # σ-FFN flat layout [L, C, O] (tp=1-only by the σ guard
+                    # above; reachable on dp-only meshes): O-sharded spec.
+                    return (self._ns(None, None, "tp"), self._ns(None, "tp"))
                 if name in unfusable_quantized:
                     if self.tp > 1:
                         raise ValueError(

@@ -571,6 +571,19 @@ def quantize_decoder_params(
                     [jnp.arange(0, I, 2), jnp.arange(1, I, 2)]
                 )
                 w = jnp.take(w, perm, axis=1)
+            if sigma and key == "gate_up_proj":
+                # σ-FFN also FLATTENS gate/up into ONE [L, H, 2I] matmul
+                # (output cols [gate | up]): the packed kernel then launches
+                # once per layer instead of once per (L, 2) stack slice —
+                # each pallas launch costs ~3.3 us fixed on this platform
+                # (round-4 anatomy), so halving FFN-up launches is a real
+                # decode win. The σ (no-interleave) output is
+                # [ge | ue | go | uo] quarters; _mlp swiglus the even and
+                # odd quarters independently, which lands the products in
+                # exactly the σ row order down_proj was quantized for.
+                L_, _, H_, I_ = w.shape
+                w = jnp.transpose(w, (0, 2, 1, 3)).reshape(L_, H_, 2 * I_)
+                axes = (1,)
             layers[key] = quantize(w, axes, qdtype, group_size=group_size)
             if sigma and key in ("gate_up_proj", "down_proj"):
                 layers[key] = dataclasses.replace(
@@ -604,13 +617,22 @@ def quantize_decoder_params(
 
 
 def dequantize_tree(params, dtype=jnp.bfloat16):
-    """Replace every QTensor with its dequantized array (for testing)."""
+    """Replace every QTensor with its dequantized array (for testing),
+    restoring each weight's ORIGINAL model layout — the σ-FFN flat
+    gate_up ([L, H, 2I], quantize_decoder_params sigma_ffn) folds back to
+    the canonical [L, 2, H, I]."""
 
-    def walk(node):
+    def walk(node, key=None):
         if isinstance(node, QTensor):
-            return node.dequant(dtype)
+            w = node.dequant(dtype)
+            if key == "gate_up_proj" and node.sigma_out and w.ndim == 3:
+                L_, H_, I2 = w.shape
+                w = jnp.transpose(
+                    w.reshape(L_, H_, 2, I2 // 2), (0, 2, 1, 3)
+                )
+            return w
         if isinstance(node, dict):
-            return {k: walk(v) for k, v in node.items()}
+            return {k: walk(v, k) for k, v in node.items()}
         return node
 
     return walk(params)

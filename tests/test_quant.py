@@ -351,22 +351,31 @@ def test_sigma_ffn_matches_canonical():
                                  sigma_ffn=True)
     gu, dn = qp["layers"]["gate_up_proj"], qp["layers"]["down_proj"]
     assert gu.sigma_out and dn.sigma_in
+    # Round 4: σ-FFN stores gate/up FLAT [L, H, 2I] (one kernel launch per
+    # layer — each pallas launch costs ~3.3 us fixed); the σ output is the
+    # quarters [ge | ue | go | uo] and swiglu runs per even/odd quarter.
+    assert gu.q.ndim == 3 and len(gu.out_shape) == 1
     # one layer's FFN: quantized σ pipeline vs dequantized canonical math
     gu0 = jax.tree_util.tree_map(lambda a: a[0], gu)
     dn0 = jax.tree_util.tree_map(lambda a: a[0], dn)
     x = jax.random.normal(jax.random.PRNGKey(1), (3, cfg.hidden_size),
                           jnp.float32)
-    got = qeinsum(
-        "bi,ih->bh",
-        swiglu(*(qeinsum("bh,chi->bci", x, gu0)[:, i] for i in (0, 1))),
-        dn0,
+    y = qeinsum("bh,hj->bj", x, gu0)  # σ quarters
+    q4 = y.shape[-1] // 4
+    prod = jnp.concatenate(
+        [
+            swiglu(y[:, :q4], y[:, q4 : 2 * q4]),
+            swiglu(y[:, 2 * q4 : 3 * q4], y[:, 3 * q4 :]),
+        ],
+        axis=-1,
     )
-    gu_dq = gu0.dequant(jnp.float32)  # canonical [2, H, I]
+    got = qeinsum("bi,ih->bh", prod, dn0)
+    gu_dq = gu0.dequant(jnp.float32)  # canonical [H, 2I] (gate | up cols)
+    I = gu_dq.shape[-1] // 2
     dn_dq = dn0.dequant(jnp.float32)  # canonical [I, H]
+    gu_full = jnp.einsum("bh,hj->bj", x, gu_dq)
     want = jnp.einsum(
-        "bi,ih->bh",
-        swiglu(*(jnp.einsum("bh,chi->bci", x, gu_dq)[:, i] for i in (0, 1))),
-        dn_dq,
+        "bi,ih->bh", swiglu(gu_full[:, :I], gu_full[:, I:]), dn_dq,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-3, atol=1e-3)
