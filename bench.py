@@ -103,7 +103,7 @@ def run_engine(engine, prompts, gen_len, chunk):
     }
 
 
-def serve_tps(cfg, params, max_reqs=12, requests=40, chunk=32, seed=0):
+def serve_tps(cfg, params, max_reqs=12, requests=40, chunk=16, seed=0):
     """Continuous-batching serving throughput (the BENCH_SERVE row): mixed
     prompt (8-64) / gen (32-256) lengths through ContinuousBatchingScheduler
     — the mix examples/serve_benchmark.py uses. Warm-up drains a full batch
@@ -119,10 +119,12 @@ def serve_tps(cfg, params, max_reqs=12, requests=40, chunk=32, seed=0):
         cfg, params, page_size=64, max_reqs=max_reqs,
         num_pages=max_reqs * (1024 // 64) + 16, decode_chunk=chunk,
     )
-    # admit_every=2 measured best on the mixed workload (620 tok/s vs 510
-    # at 1 — too many drain barriers — and 557 at 4 — occupancy sags while
-    # freed slots wait): with the pipelined scheduler and pinned prefill
-    # width, admissions are cheap and keeping slots full dominates.
+    # Round-4 cadence A/B on the async-admission scheduler (bf16, warm):
+    # ae2/c16 769, ae3/c16 737, ae2/c8 650, ae1/c16 639, ae2/c32 672
+    # tok/s — chunk=16 + admit_every=2 wins: admissions are non-blocking
+    # (prefill splices into the resident session on device), so shorter
+    # chunks mostly buy faster slot turnover, while admit_every=1 still
+    # pays a drain barrier per chunk when the pool is full.
     sched = ContinuousBatchingScheduler(engine, admit_every=2)
     rng = np.random.default_rng(seed)
     # one prompt per pow2 prefill bucket (8/16/32/64), submitted ONE AT A

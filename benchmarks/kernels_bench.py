@@ -235,8 +235,13 @@ def bench_prefill_attention(results, quick):
             reps = 8 if S >= 4096 else 32
             t_k = timeit(jax.jit(lambda q, k, v: flash_prefill(q, k, v, lens, sm)),
                          q, k, v, reps=reps)
-            t_r = timeit(jax.jit(lambda q, k, v: ref.prefill_attention(q, k, v, lens, sm)),
-                         q, k, v, reps=reps)
+            if S >= 4096:
+                # the dense reference materializes [B, Nq, S, S] fp32
+                # scores (8.6 GB at S=8192) — kernel-only row
+                t_r = float("nan")
+            else:
+                t_r = timeit(jax.jit(lambda q, k, v: ref.prefill_attention(q, k, v, lens, sm)),
+                             q, k, v, reps=reps)
             tag = "flash_prefill" + (f"[D{D}-packed]" if D != 128 else "")
             results.append(
                 dict(op=tag, shape=f"B{B} S{S}", pallas_ms=t_k,
