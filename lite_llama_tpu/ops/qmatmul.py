@@ -27,10 +27,13 @@ the activations to int8 per row (W4A8) and run int8xint8->int32 MXU dots
       g1 = dot_i8(x, b & 15)    (one AND per byte, the only VPU touch)
       dot(x, hi) = (g0 - g1) / 16          (exact integer multiple)
       dot(x, lo) = g1 - 8*sum(x)           (bias is constant per C-group)
-  The -8*sum(x) correction is per (row, scale-group) — a tiny [M, nG] x
-  [nG, Oh] matmul applied OUTSIDE the kernel (at HIGHEST precision: TPU
-  f32 dots default to bf16 inputs, which re-introduced ~1% error when
-  probed).
+  The -8*sum(x) correction is per (row, scale-group) and is applied
+  IN-KERNEL: the row sums reduce from the already-resident int8 x block
+  and subtract from g1 in exact i32/fp32 before the scale multiply
+  (round 4 — the earlier out-of-kernel [M, nG] x [nG, Oh]
+  HIGHEST-precision dot plus its extra [M, O] fp32 pass cost ~0.3 ms per
+  3B decode step). The per-row activation scale also folds into the
+  output write.
 - Weights stay layer-STACKED in HBM (``[Lf, C, O/2]`` int8); the layer
   index rides in scalar-prefetch SMEM and selects the block row in the
   BlockSpec index map — no per-layer dynamic-slice copy under the
@@ -340,7 +343,8 @@ def _qmm_kernel(
     x_ref,  # [BM, BC] VMEM int8
     w_ref,  # [1, BC, BOh] VMEM (packed bytes)
     s_ref,  # [1, GB, BOh] f32 (GB=1 with a constant block: per-channel)
-    oe_ref,  # [BM, BOh] out: even output columns (biased — see wrapper)
+    xs_ref,  # [BM, 1] f32 per-row activation scales
+    oe_ref,  # [BM, BOh] out: even output columns (bias-corrected, scaled)
     oo_ref,  # [BM, BOh] out: odd output columns
     acc_e,  # [BM, BOh] f32 scratch
     acc_o,
@@ -374,15 +378,26 @@ def _qmm_kernel(
             preferred_element_type=jnp.int32,
         )
         # Exact: the scale is constant within the group's contraction
-        # slice. g1 still carries the +8 bias (removed by the wrapper);
-        # (g0 - g1) = 16 * dot(x, hi), the /16 rides the odd scale row.
-        acc_e[...] += g1.astype(jnp.float32) * sg
+        # slice. The +8 low-nibble storage bias is undone IN-KERNEL as the
+        # per-(row, group) constant 8*sum(x_g), with the row sums reduced
+        # from the already-resident int8 x block — exact integer math in
+        # i32/fp32 (the wrapper's old [M, nG] x [nG, Oh] HIGHEST-precision
+        # dot cost ~0.27 ms/step at the 3B config); (g0 - g1) = 16 *
+        # dot(x, hi), the /16 rides the odd scale row.
+        xsum = jnp.sum(
+            xg.astype(jnp.int32), axis=1, keepdims=True
+        )  # [BM, 1]
+        corr = (g1 - 8 * xsum).astype(jnp.float32)
+        acc_e[...] += corr * sg
         acc_o[...] += (g0 - g1).astype(jnp.float32) * (sg * 0.0625)
 
     @pl.when(c == nC - 1)
     def _():
-        oe_ref[...] = acc_e[...].astype(oe_ref.dtype)
-        oo_ref[...] = acc_o[...].astype(oo_ref.dtype)
+        # Per-row activation scale folded into the output write (saves one
+        # [M, O] fp32 pass per matmul in XLA).
+        xs = xs_ref[...]  # [BM, 1]
+        oe_ref[...] = (acc_e[...] * xs).astype(oe_ref.dtype)
+        oo_ref[...] = (acc_o[...] * xs).astype(oo_ref.dtype)
 
 
 @functools.partial(
@@ -422,7 +437,7 @@ def quantized_matmul_packed(
     # legal by construction (_pick_bc: multiple of 8, or the full axis).
     GB = 1 if nG == 1 else (BC * nG) // C
 
-    xi, xs, sumx = quantize_activations(x, nG)
+    xi, xs, _ = quantize_activations(x, nG)  # row sums recomputed in-kernel
 
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
     if nG == 1:
@@ -438,6 +453,7 @@ def quantized_matmul_packed(
             pl.BlockSpec((M, BC), lambda m, o, c, l: (m, c)),
             pl.BlockSpec((1, BC, BOh), lambda m, o, c, l: (l[0], c, o)),
             s_spec,
+            pl.BlockSpec((M, 1), lambda m, o, c, l: (m, 0)),
         ],
         out_specs=[
             pl.BlockSpec((M, BOh), lambda m, o, c, l: (m, o)),
@@ -453,29 +469,19 @@ def quantized_matmul_packed(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((M, Oh), jnp.float32),
-            jax.ShapeDtypeStruct((M, Oh), jnp.float32),
+            jax.ShapeDtypeStruct((M, Oh), out_dtype),
+            jax.ShapeDtypeStruct((M, Oh), out_dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(layer_arr, xi, q, scale)
-    # Undo the +8 low-nibble storage bias: a per-(row, group) constant, so
-    # a tiny [M, nG] x [nG, Oh] dot. HIGHEST precision — the TPU default
-    # truncates f32 dot inputs to bf16, which measurably corrupts the
-    # cancellation (the biased term is ~8x the signal).
-    sl = jax.lax.dynamic_index_in_dim(scale, layer_arr[0], 0, keepdims=False)
-    ye = ye - 8.0 * jax.lax.dot_general(
-        sumx, sl.reshape(nG, Oh),
-        (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
-    # Canonical column order: even/odd interleave on the small result
-    # (or a cheap concat in σ order), then the per-row activation scale.
+    )(layer_arr, xi, q, scale, xs[:, None])
+    # Bias correction and the per-row activation scale happen IN-KERNEL
+    # (full-fp32 VPU — the old HIGHEST-precision [M, nG] x [nG, Oh] dot +
+    # the extra [M, O] scale pass cost ~0.3 ms/step at 3B). Only the
+    # canonical column order remains: even/odd interleave on the small
+    # result (or a cheap concat in σ order).
     if interleave:
-        y = jnp.stack([ye, yo], axis=-1).reshape(M, 2 * Oh)
-    else:
-        y = jnp.concatenate([ye, yo], axis=-1)
-    return (y * xs[:, None]).astype(out_dtype)
+        return jnp.stack([ye, yo], axis=-1).reshape(M, 2 * Oh)
+    return jnp.concatenate([ye, yo], axis=-1)
