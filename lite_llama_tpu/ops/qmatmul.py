@@ -81,6 +81,11 @@ def _pick_block(n: int, candidates=(512, 256, 128)) -> int | None:
 
 
 _BC_MAX = int(os.environ.get("LITE_LLAMA_TPU_QMM_BC", "4096"))
+# One concatenated (b | b&15) dot per group instead of two (default ON:
+# measured 4.773 vs 4.827 ms/step at the 3B int4+int8KV config — the dots
+# are MXU-latency-bound at decode M, so halving the issue count slightly
+# beats the extra VPU concat pass; =0 restores the two-dot form).
+_QMM_CAT = os.environ.get("LITE_LLAMA_TPU_QMM_CAT", "1") == "1"
 
 
 def _pick_bc(C: int, n_groups: int | None) -> int | None:
@@ -364,19 +369,35 @@ def _qmm_kernel(
     # i8 vector op Mosaic legalizes on v5e — probed: shifts/adds crash)
     x = x_ref[...]  # [BM, BC] int8
     Gs = x.shape[1] // GB
+    BOh = b.shape[1]
+    if _QMM_CAT:
+        # A/B variant: lane-concatenate (b | lo_enc) once per tile and run
+        # ONE [M, gs] x [gs, 2*BOh] dot per group — at decode M the dots
+        # are MXU-latency-bound, so halving the issue count may beat the
+        # extra VPU concat pass.
+        wcat = jnp.concatenate([b, lo_enc], axis=1)  # [BC, 2*BOh]
     for g in range(GB):  # static unroll; GB = BC/group_size (or 1)
         xg = x[:, g * Gs : (g + 1) * Gs]
         sg = s_ref[0, g][None, :]
-        g0 = jax.lax.dot_general(
-            xg, b[g * Gs : (g + 1) * Gs],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        g1 = jax.lax.dot_general(
-            xg, lo_enc[g * Gs : (g + 1) * Gs],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
+        if _QMM_CAT:
+            gcat = jax.lax.dot_general(
+                xg, wcat[g * Gs : (g + 1) * Gs],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            g0 = gcat[:, :BOh]
+            g1 = gcat[:, BOh:]
+        else:
+            g0 = jax.lax.dot_general(
+                xg, b[g * Gs : (g + 1) * Gs],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            g1 = jax.lax.dot_general(
+                xg, lo_enc[g * Gs : (g + 1) * Gs],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
         # Exact: the scale is constant within the group's contraction
         # slice. The +8 low-nibble storage bias is undone IN-KERNEL as the
         # per-(row, group) constant 8*sum(x_g), with the row sums reduced
