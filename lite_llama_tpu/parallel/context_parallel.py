@@ -110,24 +110,24 @@ def cp_paged_flash_decode(
     jit the check cannot see concrete placements; the engine's cp path
     shards the pool at creation (parallel/shardings.py)."""
     pages = kv_pool.pages
-    if isinstance(pages, jax.Array) and not isinstance(
-        pages, jax.core.Tracer
+    if (
+        isinstance(pages, jax.Array)
+        and not isinstance(pages, jax.core.Tracer)
+        and mesh.shape[axis] > 1
     ):
         sh = getattr(pages, "sharding", None)
         spec = tuple(getattr(sh, "spec", ()) or ())
         spec = spec + (None,) * (4 - len(spec))
-        if (
-            sh is not None
-            and hasattr(sh, "spec")
-            and mesh.shape[axis] > 1
-            and spec != (None, None, axis, None)
-        ):
+        row = spec[2]
+        row_ok = row == axis or (isinstance(row, tuple) and axis in row)
+        if not (hasattr(sh, "spec") and row_ok):
             raise ValueError(
-                f"cp_paged_flash_decode: kv_pool.pages is sharded {sh.spec},"
-                f" expected P(None, None, '{axis}', None) — a mismatched "
-                "pool would be silently resharded (full-pool collective) "
-                "on every call; device_put it onto the cp row sharding "
-                "first"
+                "cp_paged_flash_decode: kv_pool.pages is placed as "
+                f"{sh} — expected the token-row axis sharded over "
+                f"'{axis}' (P(None, None, '{axis}', None)); a mismatched "
+                "or replicated pool would be silently resharded "
+                "(full-pool collective) on every call. device_put it onto "
+                "the cp row sharding first."
             )
     return _cp_paged_flash_decode(
         q, kv_pool, layer, page_table, seq_lens, mesh, axis,

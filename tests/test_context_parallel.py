@@ -250,3 +250,21 @@ def test_cp_engine_rejects_dp_tp_composition():
     with pytest.raises(ValueError, match="cp mesh axis"):
         InferenceEngine(cfg, params, page_size=8, max_reqs=4, num_pages=64,
                         mesh=make_mesh(cp=2, dp=2))
+
+
+def test_cp_rejects_mis_sharded_pool():
+    """ADVICE r3: a replicated (or differently-sharded) pool must be
+    rejected eagerly — jit would otherwise silently reshard the FULL pool
+    per call (a collective that negates the claimed 1/N HBM traffic)."""
+    B, Nq, Hkv, D, ps = 2, 8, 2, 128, 16
+    L, Pg, ppr = 1, 16, 4
+    mesh = cp_mesh(4)
+    kv_pool, table = build_paged_kv(
+        jax.random.PRNGKey(0), L, Hkv, Pg, ps, D, B, ppr, [33, 9]
+    )
+    q = jax.random.normal(jax.random.PRNGKey(1), (B, Nq, D), jnp.float32)
+    lens_arr = jnp.asarray([33, 9], jnp.int32)
+    with pytest.raises(ValueError, match="resharded"):
+        cp_paged_flash_decode(  # replicated pool: not P(None,None,cp,None)
+            q, kv_pool, 0, table, lens_arr, mesh, interpret=True,
+        )
