@@ -122,7 +122,11 @@ def embedding_similarity(pred: str, gt: str) -> float:
     na, nb = np.linalg.norm(a), np.linalg.norm(b)
     if na == 0 or nb == 0:
         return 0.0
-    return float(np.dot(a, b) / (na * nb))
+    # Cosine lands in [-1, 1]; negative similarity carries no more signal
+    # than zero for answer scoring, and clamping keeps every reported
+    # metric in [0, 1] (random tiny-model outputs in tests occasionally
+    # anti-correlate under the hashed-BoW fallback embedder).
+    return float(max(0.0, np.dot(a, b) / (na * nb)))
 
 
 _CHOICE_PATTERNS = [
