@@ -119,12 +119,12 @@ def serve_tps(cfg, params, max_reqs=12, requests=40, chunk=16, seed=0):
         cfg, params, page_size=64, max_reqs=max_reqs,
         num_pages=max_reqs * (1024 // 64) + 16, decode_chunk=chunk,
     )
-    # Round-4 cadence A/B on the async-admission scheduler (bf16, warm):
-    # ae2/c16 769, ae3/c16 737, ae2/c8 650, ae1/c16 639, ae2/c32 672
-    # tok/s — chunk=16 + admit_every=2 wins: admissions are non-blocking
-    # (prefill splices into the resident session on device), so shorter
-    # chunks mostly buy faster slot turnover, while admit_every=1 still
-    # pays a drain barrier per chunk when the pool is full.
+    # Round-4 cadence A/B on the async post-drain-admission scheduler
+    # (bf16, warm): ae2/c16 778, ae3/c16 737, ae1/c8 708, ae2/c8 650,
+    # ae2/c32 672 tok/s — chunk=16 + admit_every=2 wins. Admissions are
+    # non-blocking (prefill splices into the resident session on device,
+    # AFTER the overlapped drain so accounting is fresh); shorter chunks
+    # buy slot turnover but pay per-chunk dispatch overhead.
     sched = ContinuousBatchingScheduler(engine, admit_every=2)
     rng = np.random.default_rng(seed)
     # one prompt per pow2 prefill bucket (8/16/32/64), submitted ONE AT A

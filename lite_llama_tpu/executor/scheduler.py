@@ -156,29 +156,28 @@ class ContinuousBatchingScheduler:
 
     # -- one scheduler iteration ---------------------------------------------
     def step(self, on_tokens: Optional[Callable] = None) -> None:
-        """PIPELINED iteration: admit waiting requests (async — prefill
-        dispatch + device-side session-row splice, no download), dispatch
-        decode chunk k, then process chunk k-1's downloaded results while
-        the device executes k. The device serializes prefill -> splice ->
-        chunk through the session/cache buffers' data dependencies; the
-        host never blocks between a completion and the next dispatch.
-
-        When admission finds no free capacity, it drains the pipeline once
-        (to learn about completions freeing slots/pages) and retries — the
-        only remaining admission barrier, and it only fires when the engine
-        is actually full."""
-        if self.waiting and (
-            not self.running or self._chunks_since_admit >= self.admit_every
-        ):
-            admitted = self._admit(on_tokens)
-            if not admitted and (self._inflight or self._pending_prefills):
-                # Engine looked full with host-stale accounting: sync once
-                # and retry (completions in the drained chunk free slots).
-                self._drain(on_tokens)
+        """PIPELINED iteration: dispatch decode chunk k, process chunk
+        k-1's results while the device executes k (the overlapped drain),
+        then admit waiting requests — admission runs AFTER the drain, so
+        it always sees fresh slot/page accounting and NEVER needs a
+        blocking sync of its own (an earlier design drained-before-admit
+        as a barrier; with a deep queue and a full engine that serialized
+        the pipeline — 639 vs 769 tok/s). Admitted requests' prefill +
+        session-row splice enqueue behind chunk k on the device and their
+        rows decode from chunk k+1 — freed slots refill with at most
+        admit_every+1 chunks of idle and zero host stalls."""
+        if not self.running and self.waiting:
+            # Cold start (or fully drained engine): admit before dispatch.
+            if not self._admit(on_tokens) and (
+                self._inflight or self._pending_prefills
+            ):
+                self._drain(on_tokens)  # learn frees, then retry below
                 self._admit(on_tokens)
         if self.running:
-            self._decode_chunk(on_tokens)
+            self._decode_chunk(on_tokens)  # dispatch k; drain k-1 overlapped
             self._chunks_since_admit += 1
+            if self.waiting and self._chunks_since_admit >= self.admit_every:
+                self._admit(on_tokens)  # post-drain: accounting is fresh
         elif self._inflight is not None or self._pending_prefills:
             self._drain(on_tokens)
 
