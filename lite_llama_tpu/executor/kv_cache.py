@@ -454,6 +454,46 @@ def free_requests(
     )
 
 
+def rewind_requests(
+    cache: PagedKVCache, req_ids: jax.Array, new_lens: jax.Array
+) -> PagedKVCache:
+    """Shrink request lengths to ``new_lens`` (<= current), pushing pages
+    beyond ``cdiv(new_lens, page_size)`` back onto the free stack — the
+    ROLLBACK primitive speculative decoding needs after rejecting draft
+    tokens (generation/speculative.py): the verify chunk over-writes
+    KV rows and over-allocates pages optimistically; rewinding restores
+    exact page accounting (the rejected rows stay physically in the pool
+    but sit beyond seq_lens, so attention never reads them and the next
+    tokens overwrite them in place). Traceable; sentinel rows
+    (req_id >= max_reqs) ignored."""
+    B = req_ids.shape[0]
+    ppr = cache.pages_per_req
+    valid_req = req_ids < cache.max_reqs
+    old_used = jnp.where(
+        valid_req, cdiv(cache.seq_lens[req_ids], cache.page_size), 0
+    )
+    new_lens = jnp.minimum(new_lens, cache.seq_lens[req_ids])
+    new_used = jnp.where(valid_req, cdiv(new_lens, cache.page_size), 0)
+    j = jnp.arange(ppr, dtype=jnp.int32)
+    mask = (
+        (j[None, :] >= new_used[:, None]) & (j[None, :] < old_used[:, None])
+    ).reshape(-1)
+    pages = cache.page_table[req_ids].reshape(-1)
+    m = mask.astype(jnp.int32)
+    rank = jnp.cumsum(m) - m
+    total = jnp.sum(m)
+    stack_len = cache.free_stack.shape[0]
+    top = _top(cache)
+    dst = jnp.where(mask, top + rank, stack_len)  # OOB -> drop
+    return PagedKVCache(
+        kv_pages=cache.kv_pages,
+        page_table=cache.page_table,
+        seq_lens=cache.seq_lens.at[req_ids].set(new_lens, mode="drop"),
+        free_stack=cache.free_stack.at[dst].set(pages, mode="drop"),
+        free_top=_set_top(cache, top + total),
+    )
+
+
 def push_pages(
     cache: PagedKVCache, pages: jax.Array, valid: jax.Array
 ) -> PagedKVCache:

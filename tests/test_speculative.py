@@ -1,0 +1,124 @@
+"""Greedy speculative decoding (prompt-lookup drafts): exact parity with
+plain greedy decoding, allocator page conservation across verify/rewind,
+and multi-token acceptance on repetitive prompts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lite_llama_tpu.config import LlamaConfig
+from lite_llama_tpu.executor.engine import InferenceEngine
+from lite_llama_tpu.generation.generate import TextGenerator
+from lite_llama_tpu.generation.speculative import (
+    SpeculativeTextGenerator,
+    prompt_lookup_draft,
+)
+from lite_llama_tpu.models.decoder import init_decoder_params
+
+
+def make_engine(max_reqs=4, num_pages=48, max_seq=96):
+    cfg = LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=97,
+        max_seq_len=max_seq, dtype=jnp.float32, eos_token_id=96,
+    )
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    return InferenceEngine(
+        cfg, params, page_size=4, max_reqs=max_reqs, num_pages=num_pages,
+        decode_chunk=4,
+    )
+
+
+def test_prompt_lookup_draft():
+    h = [1, 2, 3, 4, 5, 1, 2, 3]
+    # last 3-gram [1,2,3] matched at the start -> continuation [4, 5]
+    assert prompt_lookup_draft(h, 2, ngram=3) == [4, 5]
+    assert prompt_lookup_draft(h, 4, ngram=3) == [4, 5, 1, 2]
+    assert prompt_lookup_draft([7, 8, 9], 3, ngram=3) == []
+    # falls back to shorter n-grams
+    assert prompt_lookup_draft([5, 1, 9, 1], 1, ngram=3) == [9]
+
+
+@pytest.mark.parametrize("gen_len", [5, 23])
+def test_spec_greedy_exact_parity(gen_len):
+    """THE invariant: speculative output == plain greedy output token for
+    token, for mixed-length prompts (including a repetitive one that
+    actually accepts drafts and a short one that never matches)."""
+    engine = make_engine()
+    prompts = [
+        [5, 6, 7, 5, 6, 7, 5, 6],  # periodic: lookup hits
+        [1, 2, 3],                 # nothing to match
+        [9, 9, 9, 9, 9],           # degenerate repeats
+    ]
+    want = [
+        o.token_ids for o in TextGenerator(engine).generate_tokens(
+            prompts, max_gen_len=gen_len, temperature=0.0)
+    ]
+    spec = SpeculativeTextGenerator(engine, draft_len=4)
+    got = [
+        o.token_ids
+        for o in spec.generate_tokens(prompts, max_gen_len=gen_len)
+    ]
+    assert got == want
+    # engine fully drained: pages conserved through alloc/rewind cycles
+    assert engine._host_free_pages == engine.num_pages
+    assert int(engine.cache.free_top.sum()) == engine.num_pages
+    assert len(engine._free_slots) == engine.max_reqs
+
+
+def test_spec_accepts_multiple_tokens_on_repetition():
+    """On a strongly periodic stream the verify step must accept > 1 token
+    per forward (otherwise the feature is dead weight) — count engine
+    forwards via the spec-jit call counter."""
+    engine = make_engine(max_seq=128)
+    prompts = [[3, 4, 5] * 6]  # strongly periodic prompt
+    spec = SpeculativeTextGenerator(engine, draft_len=4)
+    calls = {"n": 0}
+    real = engine.spec_verify
+
+    def probe(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    engine.spec_verify = probe
+    out = spec.generate_tokens(prompts, max_gen_len=24)[0]
+    engine.spec_verify = real
+    n_tokens = len(out.token_ids)
+    # plain decoding would need n_tokens-1 forwards after prefill; demand
+    # a real speedup in forward count (greedy tiny models often fall into
+    # repetition, so drafts should verify)
+    assert calls["n"] < n_tokens - 1, (calls["n"], n_tokens)
+    # and parity still holds
+    want = TextGenerator(engine).generate_tokens(
+        prompts, max_gen_len=24, temperature=0.0)[0].token_ids
+    assert out.token_ids == want
+
+
+def test_rewind_requests_page_conservation():
+    """Direct allocator check: alloc past a page boundary then rewind below
+    it must return the boundary page to the free stack (the leak a naive
+    seq_lens rollback would cause)."""
+    from lite_llama_tpu.executor.kv_cache import (
+        alloc_prefill, cdiv, create_kv_cache, rewind_requests,
+    )
+
+    cache = create_kv_cache(1, 2, 16, num_pages=8, page_size=4, max_reqs=2,
+                            max_seq_len=32, dtype=jnp.float32)
+    req = jnp.asarray([0], jnp.int32)
+    cache = alloc_prefill(cache, req, jnp.asarray([6], jnp.int32))
+    free_after_alloc = int(cache.free_top.sum())
+    assert free_after_alloc == 8 - 2  # 6 tokens -> 2 pages
+    # extend optimistically to 11 tokens (3 pages), then rewind to 7 (2)
+    cache = alloc_prefill(
+        cache, req, jnp.asarray([11], jnp.int32),
+        prefix_rows=cache.page_table[req],
+        prefix_pages=cdiv(cache.seq_lens[req], 4),
+    )
+    assert int(cache.free_top.sum()) == 8 - 3
+    cache = rewind_requests(cache, req, jnp.asarray([7], jnp.int32))
+    assert int(cache.seq_lens[0]) == 7
+    assert int(cache.free_top.sum()) == 8 - 2  # boundary page returned
+    # rewind never grows a request
+    cache = rewind_requests(cache, req, jnp.asarray([30], jnp.int32))
+    assert int(cache.seq_lens[0]) == 7
