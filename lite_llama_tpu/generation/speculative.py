@@ -13,9 +13,21 @@ TPU-native mechanics: the verify step is ONE jitted program
 prefill over [current_token | drafts] against the paged pool (the same
 kernel long prompts use), device-side longest-matching-prefix acceptance,
 and a page/length REWIND (kv_cache.rewind_requests) for rejected rows.
-Greedy-exact by construction: the emitted stream equals plain greedy
-decoding token for token regardless of draft quality
-(tests/test_speculative.py asserts exact parity against TextGenerator).
+Every emitted token is the argmax of a genuine model forward over its
+true prefix, so the stream is a valid greedy decode by construction;
+under MATCHING kernel numerics it is token-identical to TextGenerator
+(tests/test_speculative.py asserts exact parity on the fp32 CPU path).
+In bf16 the chunked-verify and paged-decode attention kernels round
+differently, so near-tie argmaxes can diverge between the two streams —
+the spec stream remains self-consistent greedy.
+
+Deployment caveat (measured): each verify step must fetch the acceptance
+result to build the next step's drafts, so per-step host latency is on
+the critical path. On THIS repo's tunneled chip (~26 ms/fetch) that makes
+spec decoding SLOWER than chunked plain decoding (0.19x measured) — the
+feature pays off on direct-attached hardware (per-step sync ~50 us)
+with extractive/repetitive workloads, and a device-side drafter + multi-
+step verify scan is the known path to tunnel-tolerance.
 
 Greedy (temperature=0) only: temperature>0 needs rejection resampling to
 preserve the sampling distribution — out of scope for this layer.
