@@ -44,6 +44,12 @@ from .rotary import compute_inv_freq_dual
 _NOSHARD = ShardingPolicy(mesh=None)
 
 
+def _tp_att():
+    from ..parallel import tp_attention
+
+    return tp_attention
+
+
 def _split_scan_leaves(layers: dict):
     """Partition the layer tree for the scan: QTensor leaves are closure-
     captured layer-STACKED (the Pallas matmul kernel indexes the stacked
@@ -379,11 +385,40 @@ def decoder_prefill(
             kv_pages, li, k, v, ctx.table_rows, ctx.start_pos,
             ctx.chunk_lens,
         )
+        tp_kernel_att = (
+            shard.tp > 1
+            and ops._use_pallas()
+            and _tp_att().tp_supported(
+                kv_pages, cfg.num_attention_heads, shard.tp
+            )
+        )
         if chunked:
-            attn = ops.chunked_prefill_attention(
-                q, k, v, ctx.chunk_lens, ctx.start_pos, kv_pages, li,
-                ctx.table_rows, sm_scale, max_hist_len=hist_bound,
-                force_ref=shard.cp > 1,
+            from ..ops import attention_prefill as _ap
+
+            if (
+                tp_kernel_att
+                and q.shape[1] >= kv_pages.page_size
+                and _ap.pack_factor(
+                    q.shape[-1], cfg.num_key_value_heads // shard.tp
+                ) >= 1
+            ):
+                # Manual-tp history walk: each shard streams only its own
+                # kv-head slice of the pool (parallel/tp_attention.py).
+                attn = _tp_att().tp_flash_prefill_chunked(
+                    q, k, v, ctx.chunk_lens, ctx.start_pos, kv_pages, li,
+                    ctx.table_rows, shard.mesh, sm_scale,
+                    interpret=ops._interpret(),
+                )
+            else:
+                attn = ops.chunked_prefill_attention(
+                    q, k, v, ctx.chunk_lens, ctx.start_pos, kv_pages, li,
+                    ctx.table_rows, sm_scale, max_hist_len=hist_bound,
+                    force_ref=shard.cp > 1 or shard.tp > 1,
+                )
+        elif tp_kernel_att:
+            attn = _tp_att().tp_flash_prefill(
+                q, k, v, ctx.chunk_lens, shard.mesh, sm_scale,
+                interpret=ops._interpret(),
             )
         else:
             attn = ops.prefill_attention(q, k, v, ctx.chunk_lens, sm_scale)
@@ -458,6 +493,20 @@ def decoder_decode(
             from ..parallel.context_parallel import cp_paged_flash_decode
 
             attn = cp_paged_flash_decode(
+                q, kv_pages, li, ctx.table_rows, ctx.seq_lens,
+                shard.mesh, sm_scale=sm_scale,
+                interpret=ops._interpret(), k_new=k, v_new=v,
+            )
+        elif shard.tp > 1 and ops._use_pallas() and _tp_att().tp_supported(
+            kv_pages, cfg.num_attention_heads, shard.tp
+        ):
+            # Tensor parallelism: a bare pallas_call is GSPMD-opaque (XLA
+            # would replicate the FULL pool per chip); the manual-tp
+            # wrapper runs the kernel per kv-head shard — chip-local, no
+            # collective (parallel/tp_attention.py). Quantized pools fall
+            # through to the XLA path (merged scale-slab lanes are laid
+            # out for the global head count).
+            attn = _tp_att().tp_paged_flash_decode(
                 q, kv_pages, li, ctx.table_rows, ctx.seq_lens,
                 shard.mesh, sm_scale=sm_scale,
                 interpret=ops._interpret(), k_new=k, v_new=v,

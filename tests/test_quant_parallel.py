@@ -362,3 +362,74 @@ def test_int4_kernel_engine_tp_dp_token_parity():
     finally:
         ops_mod.set_backend(prev if prev else "auto")
     assert got == want
+
+
+def test_tp_attention_wrappers_route_and_match(monkeypatch):
+    """Round 4: under tp>1 with the pallas backend and a non-quantized
+    pool, decode/prefill/chunked-prefill attention run through manual-tp
+    shard_map wrappers (each shard's kernel sees only its kv-head slice —
+    a bare pallas_call is GSPMD-opaque and would replicate the pool on
+    real multi-chip hardware). Greedy tokens must match the single-device
+    pallas engine bit for bit (attention is head-independent, so the
+    sharded math is identical)."""
+    import lite_llama_tpu.ops as ops_mod
+    from lite_llama_tpu.parallel import tp_attention as tpa
+
+    # D=128: the chunked history kernel needs per-SHARD packability
+    # (pack_factor(D, Hkv/tp) >= 1); D=32 with 2 local kv heads cannot
+    # pack and correctly falls back to the XLA path instead.
+    cfg = LlamaConfig(
+        hidden_size=256, intermediate_size=512, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=128,
+        vocab_size=1024, max_seq_len=128, dtype=jnp.float32,
+        eos_token_id=1023, tie_word_embeddings=False,
+    )
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    # prompts > prefill_chunk force the chunked path too
+    prompts = [list(range(2, 42)), [9, 8, 7]]
+    calls = []
+    for name in ("tp_paged_flash_decode", "tp_flash_prefill",
+                 "tp_flash_prefill_chunked"):
+        real = getattr(tpa, name)
+
+        def probe(*a, _n=name, _r=real, **k):
+            calls.append(_n)
+            return _r(*a, **k)
+
+        monkeypatch.setattr(tpa, name, probe)
+    prev = ops_mod._BACKEND
+    ops_mod.set_backend("pallas")
+    try:
+        base = InferenceEngine(cfg, params, page_size=8, max_reqs=4,
+                               num_pages=64, prefill_chunk=32)
+        want = _generate(base, prompts)
+        sharded = InferenceEngine(
+            cfg, params, page_size=8, max_reqs=4, num_pages=64,
+            prefill_chunk=32, mesh=make_mesh(tp=2, dp=1),
+        )
+        got = _generate(sharded, prompts)
+    finally:
+        ops_mod.set_backend(prev if prev else "auto")
+    assert {"tp_paged_flash_decode", "tp_flash_prefill_chunked"} <= set(
+        calls
+    ), set(calls)
+    assert got == want
+
+
+def test_tp_quantized_pool_attention_falls_back():
+    """INT8 pools under tp keep the GSPMD-partitionable XLA attention path
+    (the merged scale slab's lanes are laid out for the global head count
+    — a tp lane slice would misalign); generation must still match the
+    single-device engine."""
+    cfg = _kernel_cfg()
+    params = init_decoder_params(cfg, jax.random.PRNGKey(1))
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    base = InferenceEngine(cfg, params, page_size=8, max_reqs=4,
+                           num_pages=32, kv_quant="int8")
+    want = _generate(base, prompts)
+    sharded = InferenceEngine(
+        cfg, params, page_size=8, max_reqs=4, num_pages=32,
+        kv_quant="int8", mesh=make_mesh(tp=2, dp=1),
+    )
+    got = _generate(sharded, prompts)
+    assert got == want
