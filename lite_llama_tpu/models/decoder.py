@@ -271,14 +271,19 @@ def _mlp(cfg, lp, x, shard):
         y = qeinsum("...h,hj->...j", x, w, shard=shard, tp_kind="out")
         y = shard.ffn(y)
         if w.sigma_out:
-            q = y.shape[-1] // 4
+            # Per σ BLOCK (sigma_groups = the tp the weights were
+            # quantized for; 1 single-device): each block is the quarters
+            # [ge | ue | go | uo] — pure view reshapes, no data movement.
+            N = w.sigma_groups
+            q = y.shape[-1] // (4 * N)
+            y5 = y.reshape(*y.shape[:-1], N, 4, q)
             out = jnp.concatenate(
                 [
-                    ops.swiglu(y[..., :q], y[..., q : 2 * q]),
-                    ops.swiglu(y[..., 2 * q : 3 * q], y[..., 3 * q :]),
+                    ops.swiglu(y5[..., 0, :], y5[..., 1, :]),
+                    ops.swiglu(y5[..., 2, :], y5[..., 3, :]),
                 ],
                 axis=-1,
-            )
+            ).reshape(*y.shape[:-1], 2 * N * q)
         else:
             half = y.shape[-1] // 2
             out = ops.swiglu(y[..., :half], y[..., half:])
@@ -503,9 +508,9 @@ def decoder_decode(
             # Tensor parallelism: a bare pallas_call is GSPMD-opaque (XLA
             # would replicate the FULL pool per chip); the manual-tp
             # wrapper runs the kernel per kv-head shard — chip-local, no
-            # collective (parallel/tp_attention.py). Quantized pools fall
-            # through to the XLA path (merged scale-slab lanes are laid
-            # out for the global head count).
+            # collective (parallel/tp_attention.py). INT8 pools ride too:
+            # the merged scale slab stays replicated and an in-kernel
+            # head_offset aligns its global-head lanes with the shard.
             attn = _tp_att().tp_paged_flash_decode(
                 q, kv_pages, li, ctx.table_rows, ctx.seq_lens,
                 shard.mesh, sm_scale=sm_scale,

@@ -71,7 +71,9 @@ NEG_INF = float(-1e30)  # large-negative instead of -inf: exp2 flushes to 0
 
 def _decode_kernel(
     # scalar prefetch
-    layer_ref,  # [1] int32
+    layer_ref,  # [2] int32: (layer, head_offset) — head_offset is the
+    # shard's first GLOBAL kv head under manual tensor parallelism (the
+    # replicated scale slab's lanes index global heads; 0 single-chip)
     page_table_ref,  # [B, ppr] int32
     seq_lens_ref,  # [B] int32
     buf_idx_ref,  # [1] int32 (mutable across grid programs)
@@ -167,11 +169,17 @@ def _decode_kernel(
             G_w = Nq // Hkv
             row_head = jax.lax.broadcasted_iota(jnp.int32, (Nq, SLq), 0) // G_w
             lane = jax.lax.broadcasted_iota(jnp.int32, (Nq, SLq), 1)
-            # Merged slab: K scales live in lanes [0, Hkv), V scales in
-            # [SL/2, SL/2 + Hkv) of the SAME per-token row — two selector
-            # matrices against one slab (one DMA per page for both halves).
-            e_onehot_k = (row_head == lane).astype(jnp.float32)
-            e_onehot_v = (row_head + SLq // 2 == lane).astype(jnp.float32)
+            # Merged slab: K scales live in lanes [0, Hkv_global), V scales
+            # in [SL/2, SL/2 + Hkv_global) of the SAME per-token row — two
+            # selector matrices against one slab (one DMA per page for both
+            # halves). Under manual tensor parallelism the slab stays
+            # REPLICATED (its lanes index GLOBAL heads) and head_offset
+            # shifts the selectors to this shard's head range.
+            hoff = layer_ref[1]
+            e_onehot_k = (row_head + hoff == lane).astype(jnp.float32)
+            e_onehot_v = (
+                row_head + hoff + SLq // 2 == lane
+            ).astype(jnp.float32)
     else:
         # Column decomposition (token-major rows): col = (f*ps + t)*Hkv + h2.
         row = jax.lax.broadcasted_iota(jnp.int32, (Nq, Wp), 0)
@@ -346,6 +354,9 @@ def paged_flash_decode(
     k_new: jax.Array | None = None,  # [B, Hkv, D] — newest token, NOT in pool
     v_new: jax.Array | None = None,
     return_state: bool = False,  # also return the online-softmax (m, l)
+    head_offset: jax.Array | int = 0,  # first GLOBAL kv head of this shard
+    # (manual-tp wrappers pass axis_index * Hkv_local; only read by the
+    # quantized score-domain dequant — the scale slab lanes are global)
 ) -> jax.Array:
     """When (k_new, v_new) are given, the pool holds only seq_lens-1 tokens;
     the newest token is folded in via an exact LSE combine OUTSIDE the kernel
@@ -388,7 +399,10 @@ def paged_flash_decode(
     HD = Hkv * D
     G = Nq // Hkv
 
-    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+    layer_arr = jnp.stack([
+        jnp.asarray(layer, jnp.int32),
+        jnp.asarray(head_offset, jnp.int32),
+    ])
     buf_idx0 = jnp.zeros((1,), jnp.int32)
     init0 = jnp.ones((1,), jnp.int32)
     # bf16 matmul inputs hit the MXU fast path. Precision follows the query

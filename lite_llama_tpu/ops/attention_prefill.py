@@ -50,7 +50,9 @@ def _prefill_kernel(
     chunk_lens_ref,  # [B] int32 — valid q rows in this chunk per request
     start_pos_ref,  # [B] int32 — history tokens already in the paged pool
     table_ref,  # [B, ppr] int32 page-table rows (unused when no history)
-    layer_ref,  # [1] int32
+    layer_ref,  # [2] int32: (layer, head_offset) — head_offset is the
+    # shard's first GLOBAL kv head under manual tensor parallelism (the
+    # replicated scale slab's lanes index global heads; 0 single-chip)
     # inputs
     q_ref,  # [1, 1, G, BQ, D] VMEM
     k_ref,  # [B, Hkv, S, D] HBM — this chunk's keys, head-major
@@ -189,11 +191,17 @@ def _prefill_kernel(
         D0 = D // pack_f
         lane = jax.lax.broadcasted_iota(jnp.int32, (SLq, D), 1)
         hrow = jax.lax.broadcasted_iota(jnp.int32, (SLq, D), 0)
-        # Merged slab: K scales in rows-as-lanes [0, Hkv), V shifted by
-        # SL/2 — one expansion matrix per half against the SAME slab.
-        e_expand_k = (hrow == h * pack_f + lane // D0).astype(jnp.float32)
+        # Merged slab: K scales in rows-as-lanes [0, Hkv_global), V shifted
+        # by SL/2 — one expansion matrix per half against the SAME slab.
+        # Under manual tensor parallelism the slab stays REPLICATED (its
+        # lanes index GLOBAL heads); head_offset shifts the selectors to
+        # this shard's range: global head = hoff + local_packed_head.
+        hoff = layer_ref[1]
+        e_expand_k = (
+            hrow == hoff + h * pack_f + lane // D0
+        ).astype(jnp.float32)
         e_expand_v = (
-            hrow == SLq // 2 + h * pack_f + lane // D0
+            hrow == SLq // 2 + hoff + h * pack_f + lane // D0
         ).astype(jnp.float32)
 
         def deq(buf, e_expand, slot):
@@ -405,7 +413,7 @@ def pack_factor(head_dim: int, num_kv_heads: int) -> int:
 
 def _flash_prefill_impl(
     q, k, v, chunk_lens, start_pos, kv_pages, layer, table_rows,
-    sm_scale, interpret, block_q, block_k, has_history,
+    sm_scale, interpret, block_q, block_k, has_history, head_offset=0,
 ):
     B, S, Nq, D = q.shape
     Hkv = k.shape[2]
@@ -469,13 +477,16 @@ def _flash_prefill_impl(
             )
             extra_in = [pl.BlockSpec(memory_space=pl.ANY)]
             extra_args = (pages,)
-        layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+        layer_arr = jnp.stack([
+            jnp.asarray(layer, jnp.int32),
+            jnp.asarray(head_offset, jnp.int32),
+        ])
         table_arr = table_rows
     else:
         ps = BK  # unused
         extra_in = []
         extra_args = ()
-        layer_arr = jnp.zeros((1,), jnp.int32)
+        layer_arr = jnp.zeros((2,), jnp.int32)
         table_arr = jnp.zeros((B, 1), jnp.int32)
         start_pos = jnp.zeros((B,), jnp.int32)
 
@@ -593,6 +604,8 @@ def flash_prefill_chunked(
     interpret: bool = False,
     block_q: int = DEFAULT_BQ,
     block_k: int = DEFAULT_BK,
+    head_offset: jax.Array | int = 0,  # first GLOBAL kv head of this shard
+    # (manual-tp wrappers; only read by the quantized history dequant)
 ) -> jax.Array:
     """Chunked prefill: each query attends the request's pool history
     [0, start_pos) plus the causal prefix of the current chunk. VMEM use is
@@ -600,4 +613,5 @@ def flash_prefill_chunked(
     return _flash_prefill_impl(
         q, k, v, chunk_lens, start_pos, kv_pages, layer, table_rows,
         sm_scale, interpret, block_q, block_k, has_history=True,
+        head_offset=head_offset,
     )

@@ -141,17 +141,21 @@ class ShardingPolicy:
 
         def pick(name, leaf):
             if _is_qtensor(leaf):
-                if self.tp > 1 and (leaf.sigma_out or leaf.sigma_in):
+                if self.tp > 1 and (leaf.sigma_out or leaf.sigma_in) and (
+                    leaf.sigma_groups != self.tp
+                ):
                     raise ValueError(
-                        f"σ-shuffled quantized '{name}' cannot be tensor-"
-                        "parallel sharded: a contiguous tp shard of the σ-"
-                        "ordered FFN axis does not correspond to a shard of "
-                        "the canonical axis — quantize with sigma_ffn=False "
-                        "for tp>1 (quant/qtensor.quantize_decoder_params)"
+                        f"σ-shuffled quantized '{name}' was laid out for "
+                        f"sigma_groups={leaf.sigma_groups} but the mesh has "
+                        f"tp={self.tp}: one tp shard must be exactly one σ "
+                        "block. Quantize with sigma_tp=<mesh tp> "
+                        "(quant/qtensor.quantize_decoder_params) or with "
+                        "sigma_ffn=False."
                     )
                 if name == "gate_up_proj" and leaf.q.ndim == 3:
-                    # σ-FFN flat layout [L, C, O] (tp=1-only by the σ guard
-                    # above; reachable on dp-only meshes): O-sharded spec.
+                    # σ-FFN flat layout [L, C, O]: O-sharded spec — with
+                    # sigma_groups == tp each contiguous shard is one σ
+                    # block (quantize_decoder_params sigma_tp).
                     return (self._ns(None, None, "tp"), self._ns(None, "tp"))
                 if name in unfusable_quantized:
                     if self.tp > 1:
@@ -194,7 +198,9 @@ class ShardingPolicy:
         scale planes [L, T, SCALE_LANES] shard dp/cp on the token axis but
         REPLICATE their lane axis: only Hkv lanes per half are valid, so a
         tp slice of the 128 padded lanes would not line up with the pages'
-        head shard (shards > 0 would read zero padding). Bookkeeping arrays
+        head shard — instead each tp shard reads the full slab and the
+        attention kernels shift their scale selectors by the shard's
+        head_offset (parallel/tp_attention.py). Bookkeeping arrays
         (page_table [M, ppr], seq_lens/free_stack/free_top [·]) shard their
         request/page axis over dp only (they are read on every shard)."""
         row = ("dp", "cp") if self.cp > 1 else "dp"

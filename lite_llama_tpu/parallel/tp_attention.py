@@ -17,13 +17,17 @@ contiguously on tp (shardings.py _cache_leaf_sharding), so shard s's
 ``Nq/t`` query heads attend exactly its ``Hkv/t`` kv heads — GQA group
 structure is preserved within the shard.
 
-Scope: bf16/fp8 (scale-free) pools. INT8 pools carry merged per-token
-scale slabs whose K/V lanes are laid out for the GLOBAL head count
-([0, Hkv) and [SL/2, SL/2+Hkv)); a tp lane-slice of the slab does not
-line up with the pages' head shard, so quantized pools keep the previous
-behavior (XLA reference path partitions under GSPMD; the in-kernel
-head-offset needed to fix this is a known follow-up). The engine/decoder
-routes accordingly (models/decoder.py).
+INT8 pools: the merged per-token scale slab's K/V lanes index GLOBAL
+heads ([0, Hkv) and [SL/2, SL/2+Hkv)), so it cannot be lane-sliced to
+match the pages' head shard (and a narrower local slab would break the
+128-lane DMA tiling the layout exists for — executor/kv_cache.py KVPool
+docstring). Instead the slab stays REPLICATED over tp (it is 1/8 the
+pool's bytes at Hkv=8/D=128; per-chip slab DMA traffic equals the tp=1
+kernel's, i.e. the tp win applies to the int8 page bytes, not the scale
+side-band) and each shard passes ``head_offset = axis_index('tp') *
+Hkv_local`` into the kernels, which shift their one-hot scale selectors
+to the shard's global head range (ops/attention_decode.py,
+ops/attention_prefill.py).
 """
 
 from __future__ import annotations
@@ -37,10 +41,10 @@ from ..executor.kv_cache import KVPool
 from ..ops.qmatmul import _ctx_mesh
 
 
-def _local_pool(pages, template: KVPool, tp: int) -> KVPool:
+def _local_pool(pages, scales, template: KVPool, tp: int) -> KVPool:
     return KVPool(
         pages=pages,
-        scales=None,
+        scales=scales,
         page_size=template.page_size,
         num_kv_heads=template.num_kv_heads // tp,
         head_dim=template.head_dim,
@@ -49,8 +53,7 @@ def _local_pool(pages, template: KVPool, tp: int) -> KVPool:
 
 def tp_supported(kv_pool: KVPool, num_q_heads: int, tp: int) -> bool:
     return (
-        not kv_pool.quantized
-        and kv_pool.num_kv_heads % tp == 0
+        kv_pool.num_kv_heads % tp == 0
         and num_q_heads % tp == 0
     )
 
@@ -70,33 +73,45 @@ def tp_paged_flash_decode(
     from ..ops.attention_decode import paged_flash_decode
 
     tp = mesh.shape["tp"]
+    quantized = kv_pool.quantized
+    hl = kv_pool.num_kv_heads // tp
 
-    def local(ql, pages, layer, table, lens, kn, vn):
-        pool = _local_pool(pages, kv_pool, tp)
+    def local(ql, pages, layer, table, lens, kn, vn, *maybe_scales):
+        scales = maybe_scales[0] if quantized else None
+        pool = _local_pool(pages, scales, kv_pool, tp)
+        hoff = jax.lax.axis_index("tp") * hl if quantized else 0
         return paged_flash_decode(
             ql, pool, layer, table, lens, sm_scale=sm_scale,
-            interpret=interpret, k_new=kn, v_new=vn,
+            interpret=interpret, k_new=kn, v_new=vn, head_offset=hoff,
         )
 
     import jax.numpy as jnp
 
+    in_specs = [
+        P(None, "tp", None),
+        P(None, None, None, "tp"),
+        P(),
+        P(None, None),
+        P(None,),
+        P(None, "tp", None),
+        P(None, "tp", None),
+    ]
+    args = [q, kv_pool.pages, jnp.asarray(layer, jnp.int32), page_table,
+            seq_lens, k_new, v_new]
+    if quantized:
+        # Replicated merged scale slab — lanes index GLOBAL heads (module
+        # docstring); the in-kernel head_offset does the shard alignment.
+        in_specs.append(P(None, None, None))
+        args.append(kv_pool.scales)
+
     return jax.shard_map(
         local,
         mesh=_ctx_mesh(mesh),
-        in_specs=(
-            P(None, "tp", None),
-            P(None, None, None, "tp"),
-            P(),
-            P(None, None),
-            P(None,),
-            P(None, "tp", None),
-            P(None, "tp", None),
-        ),
+        in_specs=tuple(in_specs),
         out_specs=P(None, "tp", None),
         axis_names={"tp"},
         check_vma=False,
-    )(q, kv_pool.pages, jnp.asarray(layer, jnp.int32), page_table,
-      seq_lens, k_new, v_new)
+    )(*args)
 
 
 def tp_flash_prefill(
@@ -145,31 +160,43 @@ def tp_flash_prefill_chunked(
     from ..ops.attention_prefill import flash_prefill_chunked
 
     tp = mesh.shape["tp"]
+    quantized = kv_pool.quantized
+    hl = kv_pool.num_kv_heads // tp
 
-    def local(ql, kl, vl, clens, spos, pages, layer, table):
-        pool = _local_pool(pages, kv_pool, tp)
+    def local(ql, kl, vl, clens, spos, pages, layer, table, *maybe_scales):
+        scales = maybe_scales[0] if quantized else None
+        pool = _local_pool(pages, scales, kv_pool, tp)
+        hoff = jax.lax.axis_index("tp") * hl if quantized else 0
         return flash_prefill_chunked(
             ql, kl, vl, clens, spos, pool, layer, table, sm_scale,
-            interpret=interpret,
+            interpret=interpret, head_offset=hoff,
         )
 
     import jax.numpy as jnp
 
+    in_specs = [
+        P(None, None, "tp", None),
+        P(None, None, "tp", None),
+        P(None, None, "tp", None),
+        P(None,),
+        P(None,),
+        P(None, None, None, "tp"),
+        P(),
+        P(None, None),
+    ]
+    args = [q, k, v, chunk_lens, start_pos, kv_pool.pages,
+            jnp.asarray(layer, jnp.int32), table_rows]
+    if quantized:
+        # Replicated merged scale slab (module docstring): the in-kernel
+        # head_offset aligns the selectors with this shard's heads.
+        in_specs.append(P(None, None, None))
+        args.append(kv_pool.scales)
+
     return jax.shard_map(
         local,
         mesh=_ctx_mesh(mesh),
-        in_specs=(
-            P(None, None, "tp", None),
-            P(None, None, "tp", None),
-            P(None, None, "tp", None),
-            P(None,),
-            P(None,),
-            P(None, None, None, "tp"),
-            P(),
-            P(None, None),
-        ),
+        in_specs=tuple(in_specs),
         out_specs=P(None, None, "tp", None),
         axis_names={"tp"},
         check_vma=False,
-    )(q, k, v, chunk_lens, start_pos, kv_pool.pages,
-      jnp.asarray(layer, jnp.int32), table_rows)
+    )(*args)

@@ -96,6 +96,14 @@ class QTensor:
     # (sigma_in=True). The residual-stream order is untouched.
     sigma_out: bool = field(default=False, metadata=dict(static=True))
     sigma_in: bool = field(default=False, metadata=dict(static=True))
+    # σ BLOCK count (quantize_decoder_params sigma_tp): the FFN axis is
+    # split into ``sigma_groups`` contiguous blocks, each independently in
+    # σ order. A contiguous tp shard of the stored axis is then exactly
+    # one block — per-shard the manual-tp kernel's natural even/odd-concat
+    # output IS the block's σ order, which is what makes σ-FFN compose
+    # with tensor parallelism (shardings.py requires sigma_groups == tp).
+    # 1 = the single-device layout (whole-axis σ).
+    sigma_groups: int = field(default=1, metadata=dict(static=True))
     # Set (to a traced scalar) inside the decoder's layer scan: q/scale stay
     # LAYER-STACKED and ``layer`` indexes axis 0 at use time — the Pallas
     # matmul kernel then block-reads the layer's tiles straight from the
@@ -162,10 +170,16 @@ class QTensor:
             # Undo the σ row pre-permutation (AFTER the scale multiply —
             # grouped scales were fit over the stored row order) so the
             # dequantized weight is canonical: stored row i holds canonical
-            # contraction row sigma(i) (quantize_decoder_params).
-            half = C // 2
-            inv = jnp.stack(
+            # contraction row sigma(i) (quantize_decoder_params), applied
+            # independently per σ block (sigma_groups).
+            N = self.sigma_groups
+            W = C // N
+            half = W // 2
+            inv_blk = jnp.stack(
                 [jnp.arange(half), half + jnp.arange(half)], axis=-1
+            ).reshape(-1)
+            inv = (
+                jnp.arange(N)[:, None] * W + inv_blk[None, :]
             ).reshape(-1)
             w = jnp.take(w, inv, axis=-2)
         O_logical = 1
@@ -298,6 +312,23 @@ def _interleave_last(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.stack([a, b], axis=-1).reshape(*a.shape[:-1], 2 * a.shape[-1])
 
 
+def _sigma_concat(even: jax.Array, odd: jax.Array, groups: int) -> jax.Array:
+    """[..., h] even/odd halves -> [..., 2h] in per-BLOCK σ order: block b
+    of the output is [evens_b | odds_b] (groups=1: the whole-axis σ order
+    [evens | odds]). Pure reshapes for groups=1; a block re-concat
+    otherwise — matching the layout the manual-tp kernel emits per shard
+    and the row order σ-tp down_proj was quantized for."""
+    h = even.shape[-1]
+    if groups == 1:
+        return jnp.concatenate([even, odd], axis=-1)
+    hb = h // groups
+    e = even.reshape(*even.shape[:-1], groups, hb)
+    o = odd.reshape(*odd.shape[:-1], groups, hb)
+    return jnp.concatenate([e, o], axis=-1).reshape(
+        *even.shape[:-1], 2 * h
+    )
+
+
 def _qeinsum_layered(
     pattern: str, x: jax.Array, w: QTensor, out_dtype, allow_kernel: bool,
     shard=None, tp_kind=None,
@@ -327,7 +358,12 @@ def _qeinsum_layered(
         and tp_kind is not None
         and getattr(shard, "tp_kernel", True)
         and w.packed
-        and not (w.sigma_out or w.sigma_in)
+        # σ tensors ride the tp kernel when their block count matches the
+        # mesh: one tp shard = one σ block, and the per-shard kernel's
+        # even/odd-concat output IS the block's σ order (sigma_groups).
+        and (
+            not (w.sigma_out or w.sigma_in) or w.sigma_groups == tp
+        )
         and _ops._use_pallas()
         and _qmm.qmm_tp_supported(tp_kind, C, Os, nG, M, tp)
     )
@@ -367,6 +403,7 @@ def _qeinsum_layered(
                     _qmm.quantized_matmul_packed_tp(
                         xr, qf, sf, w.layer * n_rest + j, shard.mesh,
                         tp_kind, out_dtype=dt, interpret=interpret,
+                        interleave=not w.sigma_out,
                     )
                 )
                 for j in range(n_rest)
@@ -381,6 +418,20 @@ def _qeinsum_layered(
                 )
                 for j in range(n_rest)
             ]
+            if w.sigma_out and w.sigma_groups > 1:
+                # Single-chip run of σ-tp-quantized weights (testing /
+                # degraded meshes): the kernel emitted the WHOLE-axis
+                # [evens | odds]; re-concat into per-block σ order. (On
+                # the matching tp mesh the per-shard outputs are already
+                # block-ordered and this branch never runs.)
+                outs = [
+                    _sigma_concat(
+                        y[..., : y.shape[-1] // 2],
+                        y[..., y.shape[-1] // 2:],
+                        w.sigma_groups,
+                    )
+                    for y in outs
+                ]
         y = outs[0] if not rest else jnp.stack(outs, axis=1)
         batch = x.shape[: x.ndim - _contract_ndims(x, C)]
         return y.reshape(*batch, *rest, *w.out_shape).astype(dt)
@@ -394,6 +445,7 @@ def _qeinsum_layered(
         packed=w.packed,
         sigma_out=w.sigma_out,
         sigma_in=w.sigma_in,
+        sigma_groups=w.sigma_groups,
     )
     return qeinsum(pattern, x, sliced, out_dtype)
 
@@ -515,11 +567,14 @@ def qeinsum(
             O_logical *= d
         if len(ys) == 1:
             y = ys[0][..., :O_logical]
-        elif w.sigma_out:  # σ order: evens then odds, no interleave copy.
+        elif w.sigma_out:  # σ order: evens then odds, no interleave copy
+            # (per σ BLOCK when sigma_groups > 1 — the tp-composable form).
             # Slice pad off EACH half (a flat slice of the concat would
             # keep the evens' zero-pad tail and drop real odd columns).
             h = O_logical // 2
-            y = jnp.concatenate([ys[0][..., :h], ys[1][..., :h]], axis=-1)
+            y = _sigma_concat(
+                ys[0][..., :h], ys[1][..., :h], w.sigma_groups
+            )
         else:
             y = _interleave_last(*ys)[..., :O_logical]
         return y.reshape(*batch, *w.q.shape[:-2], *w.out_shape).astype(dt)
@@ -541,6 +596,7 @@ _LAYER_QUANT_AXES = {
 def quantize_decoder_params(
     params: dict, qdtype=jnp.int8, drop_originals: bool = False,
     group_size: int | None = None, sigma_ffn: bool = False,
+    sigma_tp: int = 1,
 ) -> dict:
     """Quantize the projection matrices of a decoder param tree (returns a
     new tree; norms/biases/embed untouched).
@@ -549,45 +605,70 @@ def quantize_decoder_params(
     weight as soon as its quantized replacement exists — halving peak HBM
     during on-device quantization of a model that barely fits twice.
 
-    ``sigma_ffn=True`` (packed int4, SINGLE-DEVICE tp=1 only) keeps the
-    FFN inner axis in "σ order": gate/up outputs come back as the packed
-    matmul's natural even/odd column halves concatenated (no interleave
-    copy) and down_proj is quantized with its contraction rows
-    pre-permuted to match. SwiGLU is elementwise, so the math is
-    identical; the residual-stream order is untouched. Incompatible with
-    tensor parallelism (shard boundaries would cut across σ) — the
-    sharding layer rejects σ-marked tensors under tp>1."""
+    ``sigma_ffn=True`` (packed int4) keeps the FFN inner axis in "σ
+    order": gate/up outputs come back as the packed matmul's natural
+    even/odd column halves concatenated (no interleave copy) and
+    down_proj is quantized with its contraction rows pre-permuted to
+    match. SwiGLU is elementwise, so the math is identical; the
+    residual-stream order is untouched.
+
+    ``sigma_tp=N`` makes the σ layout TENSOR-PARALLEL-composable: the FFN
+    axis splits into N contiguous blocks — block b holds [gate_b | up_b]
+    with σ applied WITHIN the block — so a contiguous tp shard of the
+    stored axis is exactly one block, and each shard's manual-tp kernel
+    output is already in its block's σ order (no cross-shard interleave).
+    Quantize with sigma_tp == the serving mesh's tp (the sharding layer
+    enforces the match); sigma_tp=1 is the single-device layout."""
     out = dict(params)
     layers = params["layers"] if drop_originals else dict(params["layers"])
     sigma = sigma_ffn and jnp.dtype(qdtype) == jnp.dtype(jnp.int4)
+    N = max(int(sigma_tp), 1)
     for key, axes in _LAYER_QUANT_AXES.items():
         if key in layers:
             w = layers.pop(key) if drop_originals else layers[key]
             if sigma and key == "down_proj":
-                # Stored row i <- canonical row sigma(i): evens then odds,
-                # matching the σ-ordered gate/up output this row consumes.
+                # Stored row i <- canonical row sigma(i): per σ block,
+                # evens then odds — matching the σ-ordered gate/up output
+                # this row consumes (block = one tp shard's slice).
                 I = w.shape[1]
-                perm = jnp.concatenate(
-                    [jnp.arange(0, I, 2), jnp.arange(1, I, 2)]
+                W = I // N
+                assert I % N == 0 and W % 2 == 0, (I, N)
+                blk = jnp.concatenate(
+                    [jnp.arange(0, W, 2), jnp.arange(1, W, 2)]
                 )
+                perm = (
+                    jnp.arange(N)[:, None] * W + blk[None, :]
+                ).reshape(-1)
                 w = jnp.take(w, perm, axis=1)
             if sigma and key == "gate_up_proj":
                 # σ-FFN also FLATTENS gate/up into ONE [L, H, 2I] matmul
-                # (output cols [gate | up]): the packed kernel then launches
-                # once per layer instead of once per (L, 2) stack slice —
-                # each pallas launch costs ~3.3 us fixed on this platform
-                # (round-4 anatomy), so halving FFN-up launches is a real
-                # decode win. The σ (no-interleave) output is
-                # [ge | ue | go | uo] quarters; _mlp swiglus the even and
-                # odd quarters independently, which lands the products in
+                # (output cols [gate_b | up_b] per σ block b): the packed
+                # kernel then launches once per layer instead of once per
+                # (L, 2) stack slice — each pallas launch costs ~3.3 us
+                # fixed on this platform (round-4 anatomy), so halving
+                # FFN-up launches is a real decode win. The σ
+                # (no-interleave) output is [ge | ue | go | uo] quarters
+                # per block; _mlp swiglus the even and odd quarters
+                # independently per block, which lands the products in
                 # exactly the σ row order down_proj was quantized for.
                 L_, _, H_, I_ = w.shape
-                w = jnp.transpose(w, (0, 2, 1, 3)).reshape(L_, H_, 2 * I_)
+                assert I_ % N == 0 and (I_ // N) % 2 == 0, (I_, N)
+                w = jnp.transpose(
+                    w.reshape(L_, 2, H_, N, I_ // N), (0, 2, 3, 1, 4)
+                ).reshape(L_, H_, 2 * I_)
                 axes = (1,)
             layers[key] = quantize(w, axes, qdtype, group_size=group_size)
             if sigma and key in ("gate_up_proj", "down_proj"):
+                if key == "gate_up_proj":
+                    # σ's block math assumes an unpadded stored axis (the
+                    # per-half pad slicing cannot see block boundaries).
+                    assert 2 * layers[key].q.shape[-1] == w.shape[-1], (
+                        "σ-FFN gate_up hit quantize()'s lane-alignment "
+                        "padding — unsupported with sigma_ffn"
+                    )
                 layers[key] = dataclasses.replace(
                     layers[key],
+                    sigma_groups=N,
                     **{"sigma_out" if key == "gate_up_proj" else "sigma_in":
                        True},
                 )
@@ -626,10 +707,14 @@ def dequantize_tree(params, dtype=jnp.bfloat16):
         if isinstance(node, QTensor):
             w = node.dequant(dtype)
             if key == "gate_up_proj" and node.sigma_out and w.ndim == 3:
+                # Fold the flat per-block [gate_b | up_b] layout back to
+                # the canonical [L, 2, H, I] (inverse of the sigma_tp
+                # blocking in quantize_decoder_params).
+                N = node.sigma_groups
                 L_, H_, I2 = w.shape
                 w = jnp.transpose(
-                    w.reshape(L_, H_, 2, I2 // 2), (0, 2, 1, 3)
-                )
+                    w.reshape(L_, H_, N, 2, I2 // (2 * N)), (0, 3, 1, 2, 4)
+                ).reshape(L_, 2, H_, I2 // 2)
             return w
         if isinstance(node, dict):
             return {k: walk(v, k) for k, v in node.items()}

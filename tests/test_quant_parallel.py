@@ -364,6 +364,125 @@ def test_int4_kernel_engine_tp_dp_token_parity():
     assert got == want
 
 
+def test_sigma_tp_dequant_matches_canonical():
+    """sigma_tp=2's per-block σ layout stores the SAME values as the
+    whole-axis σ layout, just block-permuted: with per-channel (ungrouped)
+    scales the scale fits are identical (gate_up's byte pairs never cross
+    a block boundary; down_proj's per-output-channel amax is row-order
+    invariant), so dequantize_tree must round-trip both to EXACTLY the
+    same canonical weights."""
+    from lite_llama_tpu.quant.qtensor import dequantize_tree
+
+    cfg = _kernel_cfg()
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    d1 = dequantize_tree(
+        quantize_decoder_params(params, jnp.int4, sigma_ffn=True),
+        jnp.float32,
+    )
+    d2 = dequantize_tree(
+        quantize_decoder_params(
+            params, jnp.int4, sigma_ffn=True, sigma_tp=2
+        ),
+        jnp.float32,
+    )
+    for key in ("gate_up_proj", "down_proj"):
+        a = np.asarray(d1["layers"][key])
+        b = np.asarray(d2["layers"][key])
+        assert a.shape == b.shape, (key, a.shape, b.shape)
+        np.testing.assert_array_equal(a, b, err_msg=key)
+
+
+def test_sigma_tp_engine_parity_and_guard():
+    """σ-FFN weights quantized with sigma_tp=2 run on a tp=2 mesh (each
+    contiguous shard is one σ block) and generate exactly the tokens of
+    the same params on a single device; mismatched sigma_groups != tp is
+    rejected eagerly by the sharding layer."""
+    cfg = _kernel_cfg()
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    q_tp = quantize_decoder_params(
+        params, jnp.int4, group_size=64, sigma_ffn=True, sigma_tp=2
+    )
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7], [3, 1]]
+    base = InferenceEngine(cfg, q_tp, page_size=8, max_reqs=4,
+                           num_pages=32)
+    want = _generate(base, prompts)
+    sharded = InferenceEngine(
+        cfg, q_tp, page_size=8, max_reqs=4, num_pages=32,
+        mesh=make_mesh(tp=2, dp=1),
+    )
+    got = _generate(sharded, prompts)
+    assert got == want
+    # Whole-axis σ (sigma_tp=1) on a tp=2 mesh: shard boundaries would cut
+    # across σ — must be rejected, not silently mis-sharded.
+    q_1 = quantize_decoder_params(
+        params, jnp.int4, group_size=64, sigma_ffn=True
+    )
+    with pytest.raises(ValueError, match="sigma_tp"):
+        InferenceEngine(
+            cfg, q_1, page_size=8, max_reqs=4, num_pages=32,
+            mesh=make_mesh(tp=2, dp=1),
+        )
+
+
+def test_sigma_tp_kernel_routing(monkeypatch):
+    """With the pallas backend, σ-tp weights ride the manual-tp W4A8
+    kernel (probe-asserted, including the flat gate_up 'out' call and the
+    σ-row down_proj 'contract' call) and prefill logits match the
+    single-device σ kernel engine within per-shard activation-quant
+    tolerance (same bound as the canonical-layout tp kernel test)."""
+    import lite_llama_tpu.ops as ops_mod
+    from lite_llama_tpu.models.decoder import AttnContext, decoder_prefill
+    from lite_llama_tpu.ops import qmatmul as qmm
+
+    cfg = _kernel_cfg()
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    q_tp = quantize_decoder_params(
+        params, jnp.int4, group_size=64, sigma_ffn=True, sigma_tp=2
+    )
+    ids = jnp.asarray(
+        [[1, 2, 3, 4, 5, 0, 0, 0], [9, 8, 7, 0, 0, 0, 0, 0]], jnp.int32
+    )
+    lens = jnp.asarray([5, 3], jnp.int32)
+    ctx = AttnContext(
+        table_rows=jnp.asarray([[0, 1], [2, 3]], jnp.int32),
+        seq_lens=lens, start_pos=jnp.zeros((2,), jnp.int32),
+        chunk_lens=lens,
+    )
+    prev = ops_mod._BACKEND
+    ops_mod.set_backend("pallas")
+    try:
+        base = InferenceEngine(cfg, q_tp, page_size=8, max_reqs=4,
+                               num_pages=32)
+        want, _ = jax.jit(
+            lambda p, c: decoder_prefill(p, cfg, c, ctx, input_ids=ids)
+        )(base.params, base.cache.kv_pages)
+
+        calls = []
+        real = qmm.quantized_matmul_packed_tp
+
+        def probe(*a, **k):
+            calls.append(k.get("kind") or a[5])
+            return real(*a, **k)
+
+        monkeypatch.setattr(qmm, "quantized_matmul_packed_tp", probe)
+        sharded = InferenceEngine(
+            cfg, q_tp, page_size=8, max_reqs=4, num_pages=32,
+            mesh=make_mesh(tp=2, dp=1),
+        )
+        got, _ = jax.jit(
+            lambda p, c: decoder_prefill(
+                p, cfg, c, ctx, input_ids=ids, shard=sharded._mshard
+            )
+        )(sharded.params, sharded.cache.kv_pages)
+    finally:
+        ops_mod.set_backend(prev if prev else "auto")
+    assert {"out", "contract"} <= set(calls), calls
+    a, b = np.asarray(want), np.asarray(got)
+    assert np.abs(a - b).max() < 0.03 * np.abs(a).max(), (
+        np.abs(a - b).max(), np.abs(a).max()
+    )
+
+
 def test_tp_attention_wrappers_route_and_match(monkeypatch):
     """Round 4: under tp>1 with the pallas backend and a non-quantized
     pool, decode/prefill/chunked-prefill attention run through manual-tp
@@ -416,20 +535,55 @@ def test_tp_attention_wrappers_route_and_match(monkeypatch):
     assert got == want
 
 
-def test_tp_quantized_pool_attention_falls_back():
-    """INT8 pools under tp keep the GSPMD-partitionable XLA attention path
-    (the merged scale slab's lanes are laid out for the global head count
-    — a tp lane slice would misalign); generation must still match the
-    single-device engine."""
-    cfg = _kernel_cfg()
-    params = init_decoder_params(cfg, jax.random.PRNGKey(1))
-    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
-    base = InferenceEngine(cfg, params, page_size=8, max_reqs=4,
-                           num_pages=32, kv_quant="int8")
-    want = _generate(base, prompts)
-    sharded = InferenceEngine(
-        cfg, params, page_size=8, max_reqs=4, num_pages=32,
-        kv_quant="int8", mesh=make_mesh(tp=2, dp=1),
+def test_tp_quantized_pool_attention_kernel_parity(monkeypatch):
+    """INT8 pools now ride the manual-tp Pallas attention wrappers too
+    (closing round 4's self-reported gap): the merged scale slab stays
+    REPLICATED over tp — its lanes index GLOBAL heads — and an in-kernel
+    ``head_offset`` shifts the one-hot scale selectors to each shard's
+    head range (ops/attention_decode.py, ops/attention_prefill.py,
+    parallel/tp_attention.py). Routing is probe-asserted for both the
+    decode and the chunked-prefill (paged-history) kernels, and greedy
+    tokens must match the single-device pallas int8-KV engine bit for bit
+    (per-(token, head) quantization and per-head attention math are
+    sharding-invariant)."""
+    import lite_llama_tpu.ops as ops_mod
+    from lite_llama_tpu.parallel import tp_attention as tpa
+
+    cfg = LlamaConfig(
+        hidden_size=256, intermediate_size=512, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=128,
+        vocab_size=1024, max_seq_len=128, dtype=jnp.float32,
+        eos_token_id=1023, tie_word_embeddings=False,
     )
-    got = _generate(sharded, prompts)
+    params = init_decoder_params(cfg, jax.random.PRNGKey(1))
+    # First prompt > prefill_chunk forces the chunked paged-history path
+    # (the quantized history dequant is where head_offset matters).
+    prompts = [list(range(2, 42)), [9, 8, 7]]
+    calls = []
+    for name in ("tp_paged_flash_decode", "tp_flash_prefill_chunked"):
+        real = getattr(tpa, name)
+
+        def probe(*a, _n=name, _r=real, **k):
+            calls.append(_n)
+            return _r(*a, **k)
+
+        monkeypatch.setattr(tpa, name, probe)
+    prev = ops_mod._BACKEND
+    ops_mod.set_backend("pallas")
+    try:
+        base = InferenceEngine(cfg, params, page_size=8, max_reqs=4,
+                               num_pages=64, prefill_chunk=32,
+                               kv_quant="int8")
+        want = _generate(base, prompts)
+        sharded = InferenceEngine(
+            cfg, params, page_size=8, max_reqs=4, num_pages=64,
+            prefill_chunk=32, kv_quant="int8",
+            mesh=make_mesh(tp=2, dp=1),
+        )
+        got = _generate(sharded, prompts)
+    finally:
+        ops_mod.set_backend(prev if prev else "auto")
+    assert {"tp_paged_flash_decode", "tp_flash_prefill_chunked"} <= set(
+        calls
+    ), set(calls)
     assert got == want
