@@ -1367,6 +1367,115 @@ class InferenceEngine:
         cache = rewind_requests(cache, req, L + a + 1)
         return cache, emit, n_emit, next_tok
 
+    def spec_decode_chunk(
+        self, slots, history, hist_len, cur, done, max_total,
+        n_steps: int = 8, draft_len: int = 4, ngram: int = 3,
+    ):
+        """CHUNKED speculative decoding: ``n_steps`` verify iterations scan
+        inside ONE jitted dispatch, with drafting on device
+        (generation/speculative.device_prompt_lookup) from a device-resident
+        token history — so the host syncs once per chunk instead of once
+        per verify step. This is the tunnel-tolerant form the per-step
+        ``spec_verify`` docstring names as the known fix: per-step host RTT
+        (the measured 0.19x killer on this repo's tunneled chip) leaves the
+        critical path entirely, the same way plain decoding's chunked scan
+        does (dispatch_decode_chunk).
+
+        State (device arrays, threaded opaquely by the caller):
+        ``history`` int32 [B, S] — prompt + emitted tokens, row b valid in
+        [0, hist_len[b]) and ENDING with the current next-token ``cur[b]``;
+        ``done`` bool [B]; ``max_total`` int32 [B] (prompt + generation
+        budget). Returns ``(history, hist_len, cur, done, emits
+        [n_steps, B, K], keeps [n_steps, B], done_host [B])`` — step s of
+        row b emitted ``keeps[s, b]`` tokens (eos- and budget-truncated;
+        pad after). Greedy-exact like spec_verify. dp=1 only."""
+        assert self.dp == 1, "speculative decoding: dp meshes unsupported"
+        B = len(slots)
+        K = draft_len + 1
+        S = history.shape[1]
+        key = ("chunk", B, K, S, n_steps, ngram)
+        if key not in self._spec_jits:
+            self._spec_jits[key] = jax.jit(
+                partial(self._spec_chunk, K=K, n_steps=n_steps,
+                        ngram=ngram),
+                donate_argnums=(1, 3),  # cache, history
+            )
+        self.cache, history, hist_len, cur, done, packed = self._spec_jits[
+            key
+        ](
+            self.params, self.cache,
+            jnp.asarray(np.asarray(slots, np.int32)),
+            history, hist_len, cur, done,
+            jnp.asarray(np.asarray(max_total, np.int32)),
+        )
+        ph = self._fetch(packed)  # [n_steps, B, K+2] — ONE sync per chunk
+        emits = ph[:, :, :K]
+        keeps = ph[:, :, K]
+        done_host = ph[0, :, K + 1].astype(bool)
+        return history, hist_len, cur, done, emits, keeps, done_host
+
+    def _spec_chunk(self, params, cache, req, history, hist_len, cur,
+                    done, max_total, *, K: int, n_steps: int, ngram: int):
+        from ..generation.speculative import device_prompt_lookup
+
+        eos = self._eos_array
+        B, S = history.shape
+        kidx = jnp.arange(K, dtype=jnp.int32)
+        rows_i = jnp.arange(B, dtype=jnp.int32)
+
+        def step(carry, _):
+            cache, history, hist_len, cur, done = carry
+            room = max_total - hist_len
+            active = (~done) & (room > 0)
+            drafts, d = device_prompt_lookup(history, hist_len, K - 1,
+                                             ngram)
+            # A step emits up to d+1 tokens; never overshoot the budget.
+            d = jnp.minimum(d, jnp.maximum(room - 1, 0))
+            chunk = jnp.concatenate([cur[:, None], drafts], axis=1)
+            chunk_lens = jnp.where(active, 1 + d, 0)
+            cache, emit, n_emit, next_tok = self._spec_verify_step(
+                params, cache, req, chunk, chunk_lens, K=K
+            )
+            # Keep up to (and including) the first eos, within budget —
+            # the host-side generator's truncation, moved on device.
+            within = kidx[None, :] < n_emit[:, None]
+            is_eos = (
+                (emit[..., None] == eos[None, None, :]).any(-1) & within
+            )
+            first_eos = jnp.min(
+                jnp.where(is_eos, kidx[None, :], K), axis=1
+            )
+            n_keep = jnp.minimum(n_emit, first_eos + 1)
+            n_keep = jnp.minimum(n_keep, room)
+            n_keep = jnp.where(active, n_keep, 0)
+            wpos = hist_len[:, None] + kidx[None, :]
+            valid_w = (kidx[None, :] < n_keep[:, None]) & (wpos < S)
+            tgt = jnp.where(valid_w, rows_i[:, None] * S + wpos, B * S)
+            history = history.reshape(-1).at[tgt.reshape(-1)].set(
+                emit.reshape(-1), mode="drop"
+            ).reshape(B, S)
+            hist_len = hist_len + n_keep
+            done = done | (first_eos < n_keep) | (hist_len >= max_total)
+            cur = jnp.where(active, next_tok, cur)
+            out = jnp.concatenate(
+                [
+                    emit,
+                    n_keep[:, None],
+                    jnp.zeros((B, 1), jnp.int32),  # done slot, filled below
+                ],
+                axis=1,
+            )
+            return (cache, history, hist_len, cur, done), out
+
+        (cache, history, hist_len, cur, done), outs = jax.lax.scan(
+            step, (cache, history, hist_len, cur, done), None,
+            length=n_steps,
+        )
+        # Final done mask rides in every step's last column (the host reads
+        # step 0's — one fetch covers tokens + termination).
+        outs = outs.at[:, :, K + 1].set(done.astype(jnp.int32)[None, :])
+        return cache, history, hist_len, cur, done, outs
+
     def _get_chunk_jit(self, n_steps: int, mode: str = "approx"):
         """The decode chunk is compiled per static (step count, sampling
         mode); with dp > 1 each variant is wrapped in the manual-dp

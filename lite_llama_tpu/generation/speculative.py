@@ -21,13 +21,25 @@ In bf16 the chunked-verify and paged-decode attention kernels round
 differently, so near-tie argmaxes can diverge between the two streams —
 the spec stream remains self-consistent greedy.
 
-Deployment caveat (measured): each verify step must fetch the acceptance
-result to build the next step's drafts, so per-step host latency is on
-the critical path. On THIS repo's tunneled chip (~26 ms/fetch) that makes
-spec decoding SLOWER than chunked plain decoding (0.19x measured) — the
-feature pays off on direct-attached hardware (per-step sync ~50 us)
-with extractive/repetitive workloads, and a device-side drafter + multi-
-step verify scan is the known path to tunnel-tolerance.
+Two execution modes:
+
+- CHUNKED (default, ``chunk_steps > 0``): drafting runs ON DEVICE
+  (``device_prompt_lookup`` — batched n-gram match over a device-resident
+  token history) and ``chunk_steps`` verify iterations scan inside one
+  jitted dispatch (engine.spec_decode_chunk), so the host syncs once per
+  chunk — the same dispatch discipline as plain chunked decoding. This
+  removed the per-step host RTT that made the original per-step form
+  SLOWER than plain decoding on this repo's tunneled chip (0.19x
+  measured, ~26 ms/fetch on the critical path per step).
+- PER-STEP (``chunk_steps=0``): the original host-drafted loop — one
+  engine.spec_verify + one fetch per step. Kept as the simplest reference
+  implementation and the A/B baseline.
+
+Speedup remains workload-dependent either way: acceptance comes from the
+continuation already appearing in the context (summarization/extraction/
+code), and each verify forward costs more than a decode step (K-token
+chunked prefill vs 1-token decode), so novel-text workloads still decode
+faster WITHOUT speculation.
 
 Greedy (temperature=0) only: temperature>0 needs rejection resampling to
 preserve the sampling distribution — out of scope for this layer.
@@ -37,10 +49,61 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..executor.engine import InferenceEngine
 from .generate import CompletionOutput, TextGenerator, _make_sampling
+
+
+def device_prompt_lookup(
+    history: jnp.ndarray,  # int32 [B, S] — row b valid in [0, hist_len[b])
+    hist_len: jnp.ndarray,  # int32 [B]
+    k: int,
+    ngram: int = 3,
+    min_ngram: int = 1,
+):
+    """Jittable batched prompt-lookup drafting — the device half of what
+    makes speculative decoding CHUNKABLE (engine.spec_decode_chunk): with
+    the drafter on device, R verify steps scan inside one dispatch and the
+    host syncs once per chunk instead of once per step (the measured
+    killer on tunneled chips — module docstring).
+
+    Same policy as ``prompt_lookup_draft``: longest n first (ngram down to
+    min_ngram), most recent earlier occurrence of the row's last n-gram
+    wins, continuation clamped to the valid history. Returns
+    ``(drafts [B, k] int32, d [B] int32)`` — row b proposes d[b] <= k
+    tokens (cols >= d[b] are zeroed). Cost: sum(n) shifted [B, S]
+    compares + reductions — noise next to one model forward."""
+    B, S = history.shape
+    pos = jnp.arange(S, dtype=jnp.int32)
+    best_s = jnp.full((B,), -1, jnp.int32)
+    best_n = jnp.zeros((B,), jnp.int32)
+    for n in range(ngram, min_ngram - 1, -1):
+        # tail[b, i] = history[b, hist_len[b] - n + i]
+        ti = hist_len[:, None] - n + jnp.arange(n, dtype=jnp.int32)[None, :]
+        tail = jnp.take_along_axis(history, jnp.maximum(ti, 0), axis=1)
+        m = jnp.ones((B, S), bool)
+        for i in range(n):
+            # history[b, s + i] for all s — roll's wrap-around entries sit
+            # at s > hist_len - n - 1 and are masked below.
+            m &= jnp.roll(history, -i, axis=1) == tail[:, i : i + 1]
+        m &= pos[None, :] <= hist_len[:, None] - n - 1
+        m &= hist_len[:, None] > n
+        s_n = jnp.max(jnp.where(m, pos[None, :], -1), axis=1)
+        take = (best_n == 0) & (s_n >= 0)
+        best_s = jnp.where(take, s_n, best_s)
+        best_n = jnp.where(take, n, best_n)
+    start = best_s + best_n  # first continuation position
+    di = start[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
+    drafts = jnp.take_along_axis(
+        history, jnp.clip(di, 0, S - 1), axis=1
+    )
+    d = jnp.where(best_n > 0, jnp.clip(hist_len - start, 0, k), 0)
+    drafts = jnp.where(
+        jnp.arange(k, dtype=jnp.int32)[None, :] < d[:, None], drafts, 0
+    )
+    return drafts, d
 
 
 def prompt_lookup_draft(
@@ -73,12 +136,20 @@ class SpeculativeTextGenerator:
     several tokens per model forward."""
 
     def __init__(self, engine: InferenceEngine, tokenizer=None,
-                 draft_len: int = 4, ngram: int = 3):
+                 draft_len: int = 4, ngram: int = 3,
+                 chunk_steps: int = 8):
+        """``chunk_steps > 0`` (default): DEVICE-side drafting + a
+        ``chunk_steps``-deep verify scan per dispatch
+        (engine.spec_decode_chunk) — one host sync per chunk, the
+        tunnel-tolerant form. ``chunk_steps=0``: the legacy host-drafted
+        per-step loop (one sync per verify step; kept as the simplest
+        reference implementation and for A/B)."""
         assert engine.dp == 1, "speculative decoding: dp meshes unsupported"
         self.engine = engine
         self.tokenizer = tokenizer
         self.draft_len = draft_len
         self.ngram = ngram
+        self.chunk_steps = chunk_steps
         self._tg = TextGenerator(engine, tokenizer)  # eos wiring + decode
         self.eos_ids = self._tg.eos_ids
 
@@ -103,6 +174,14 @@ class SpeculativeTextGenerator:
         slots = eng.admit_requests(max_total, prompts=prompt_tokens)
         sampling = _make_sampling(B, 0.0, 1.0, 0)
         first_tok, _, _, _ = eng.prefill(prompt_tokens, sampling, slots)
+
+        if self.chunk_steps > 0:
+            return self._finish(
+                prompt_tokens, lens, max_total, echo,
+                self._run_chunked(
+                    prompt_tokens, first_tok, slots, max_total
+                ),
+            )
 
         history = [list(p) + [int(first_tok[i])]
                    for i, p in enumerate(prompt_tokens)]
@@ -154,8 +233,54 @@ class SpeculativeTextGenerator:
                 cur[i] = int(next_tok[i])
 
         eng.release_slots(slots, max_total)
+        return self._finish(prompt_tokens, lens, max_total, echo,
+                            out_tokens)
+
+    def _run_chunked(self, prompt_tokens, first_tok, slots, max_total):
+        """Device-side chunked loop: history/drafting/verify/termination
+        all live on device; the host fetches each chunk's emitted tokens
+        once (engine.spec_decode_chunk). Releases the slots before
+        returning."""
+        import jax.numpy as jnp
+
+        eng = self.engine
+        B = len(prompt_tokens)
+        S = eng.config.max_seq_len
+        hist = np.zeros((B, S), np.int32)
+        hl = np.zeros((B,), np.int32)
+        for i, p in enumerate(prompt_tokens):
+            hist[i, : len(p)] = p
+            hist[i, len(p)] = int(first_tok[i])
+            hl[i] = len(p) + 1
+        cur = np.asarray(first_tok, np.int32)
+        done = np.asarray([
+            int(cur[i]) in self.eos_ids or hl[i] >= max_total[i]
+            for i in range(B)
+        ], bool)
+        out_tokens = [[int(first_tok[i])] for i in range(B)]
+        history, hist_len, cur_d, done_d = (
+            jnp.asarray(hist), jnp.asarray(hl), jnp.asarray(cur),
+            jnp.asarray(done),
+        )
+        while not done.all():
+            history, hist_len, cur_d, done_d, emits, keeps, done = (
+                eng.spec_decode_chunk(
+                    slots, history, hist_len, cur_d, done_d, max_total,
+                    n_steps=self.chunk_steps, draft_len=self.draft_len,
+                    ngram=self.ngram,
+                )
+            )
+            for s in range(emits.shape[0]):
+                for i in range(B):
+                    out_tokens[i].extend(
+                        int(t) for t in emits[s, i, : int(keeps[s, i])]
+                    )
+        eng.release_slots(slots, max_total)
+        return out_tokens
+
+    def _finish(self, prompt_tokens, lens, max_total, echo, out_tokens):
         results = []
-        for i in range(B):
+        for i in range(len(prompt_tokens)):
             toks = out_tokens[i][: max_total[i] - lens[i]]
             toks = self._tg._truncate_at_eos(toks)
             finish = (

@@ -12,6 +12,7 @@ from lite_llama_tpu.executor.engine import InferenceEngine
 from lite_llama_tpu.generation.generate import TextGenerator
 from lite_llama_tpu.generation.speculative import (
     SpeculativeTextGenerator,
+    device_prompt_lookup,
     prompt_lookup_draft,
 )
 from lite_llama_tpu.models.decoder import init_decoder_params
@@ -40,11 +41,37 @@ def test_prompt_lookup_draft():
     assert prompt_lookup_draft([5, 1, 9, 1], 1, ngram=3) == [9]
 
 
+def test_device_prompt_lookup_matches_host():
+    """The device drafter must implement the host policy exactly (longest
+    n first, most recent match, continuation clamped to history) — checked
+    over random low-entropy histories so matches actually occur."""
+    rng = np.random.default_rng(7)
+    S, K = 48, 4
+    for trial in range(30):
+        lens = rng.integers(2, S, size=3)
+        hist = np.zeros((3, S), np.int32)
+        rows = []
+        for b, ln in enumerate(lens):
+            row = rng.integers(0, 5, size=int(ln)).tolist()  # small alphabet
+            hist[b, : len(row)] = row
+            rows.append(row)
+        drafts, d = device_prompt_lookup(
+            jnp.asarray(hist), jnp.asarray(lens, jnp.int32), K, ngram=3
+        )
+        for b, row in enumerate(rows):
+            want = prompt_lookup_draft(row, K, ngram=3)
+            got = [int(t) for t in np.asarray(drafts)[b, : int(d[b])]]
+            assert got == want, (trial, b, row, got, want)
+
+
+@pytest.mark.parametrize("chunk_steps", [0, 6], ids=["per-step", "chunked"])
 @pytest.mark.parametrize("gen_len", [5, 23])
-def test_spec_greedy_exact_parity(gen_len):
+def test_spec_greedy_exact_parity(gen_len, chunk_steps):
     """THE invariant: speculative output == plain greedy output token for
     token, for mixed-length prompts (including a repetitive one that
-    actually accepts drafts and a short one that never matches)."""
+    actually accepts drafts and a short one that never matches) — in BOTH
+    modes: the host-drafted per-step loop and the device-drafted chunked
+    scan (one host sync per chunk_steps verify iterations)."""
     engine = make_engine()
     prompts = [
         [5, 6, 7, 5, 6, 7, 5, 6],  # periodic: lookup hits
@@ -55,7 +82,8 @@ def test_spec_greedy_exact_parity(gen_len):
         o.token_ids for o in TextGenerator(engine).generate_tokens(
             prompts, max_gen_len=gen_len, temperature=0.0)
     ]
-    spec = SpeculativeTextGenerator(engine, draft_len=4)
+    spec = SpeculativeTextGenerator(engine, draft_len=4,
+                                    chunk_steps=chunk_steps)
     got = [
         o.token_ids
         for o in spec.generate_tokens(prompts, max_gen_len=gen_len)
@@ -70,10 +98,11 @@ def test_spec_greedy_exact_parity(gen_len):
 def test_spec_accepts_multiple_tokens_on_repetition():
     """On a strongly periodic stream the verify step must accept > 1 token
     per forward (otherwise the feature is dead weight) — count engine
-    forwards via the spec-jit call counter."""
+    forwards via the spec-jit call counter (per-step mode, where forwards
+    == spec_verify calls)."""
     engine = make_engine(max_seq=128)
     prompts = [[3, 4, 5] * 6]  # strongly periodic prompt
-    spec = SpeculativeTextGenerator(engine, draft_len=4)
+    spec = SpeculativeTextGenerator(engine, draft_len=4, chunk_steps=0)
     calls = {"n": 0}
     real = engine.spec_verify
 
@@ -93,6 +122,35 @@ def test_spec_accepts_multiple_tokens_on_repetition():
     want = TextGenerator(engine).generate_tokens(
         prompts, max_gen_len=24, temperature=0.0)[0].token_ids
     assert out.token_ids == want
+
+
+def test_spec_chunked_single_sync_acceptance():
+    """Chunked mode: ONE spec_decode_chunk dispatch (= one host sync) of
+    n_steps verify iterations must emit more than n_steps tokens on a
+    periodic stream — the device drafter is live inside the scan, not just
+    the verify — and total forwards stay below plain decoding's."""
+    engine = make_engine(max_seq=128)
+    prompts = [[3, 4, 5] * 6]
+    spec = SpeculativeTextGenerator(engine, draft_len=4, chunk_steps=5)
+    calls = {"n": 0}
+    real = engine.spec_decode_chunk
+
+    def probe(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    engine.spec_decode_chunk = probe
+    out = spec.generate_tokens(prompts, max_gen_len=24)[0]
+    engine.spec_decode_chunk = real
+    n_tokens = len(out.token_ids)
+    forwards = calls["n"] * 5
+    assert forwards < n_tokens - 1, (calls["n"], forwards, n_tokens)
+    want = TextGenerator(engine).generate_tokens(
+        prompts, max_gen_len=24, temperature=0.0)[0].token_ids
+    assert out.token_ids == want
+    # engine drained: pages conserved through the in-scan alloc/rewinds
+    assert engine._host_free_pages == engine.num_pages
+    assert int(engine.cache.free_top.sum()) == engine.num_pages
 
 
 def test_rewind_requests_page_conservation():
