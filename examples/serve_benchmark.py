@@ -88,6 +88,7 @@ def main():
     sched.run()
 
     system_prompt = rng.integers(0, cfg.vocab_size, size=192).tolist()
+    sched.chunk_log.clear()  # warm-up chunks out of the steady accounting
     t0 = time.perf_counter()
     for i in range(args.requests):
         plen = int(rng.integers(8, 64))
@@ -111,6 +112,18 @@ def main():
         f"\n{len(done)} requests, {out_tokens} output tokens in {dt:.2f}s "
         f"-> {out_tokens / dt:.1f} tokens/s sustained"
     )
+    from lite_llama_tpu.utils.profiling import steady_state_tps
+
+    steady = steady_state_tps(sched.chunk_log, args.max_reqs)
+    if steady:
+        print(
+            f"steady-state (all {args.max_reqs} slots live): "
+            f"{steady['steady_tokens_per_s']} tokens/s over "
+            f"{steady['steady_window_s']}s "
+            f"({steady['steady_chunks']}/{steady['total_chunks']} chunks); "
+            f"occupancy-weighted {steady['occupancy_weighted_tokens_per_s']}"
+            f" tokens/s at mean occupancy {steady['mean_occupancy']}"
+        )
     if args.prefix_cache:
         print(
             f"prefix cache: {engine.stats.prefix_hits} hits, "

@@ -3,6 +3,7 @@ lite_llama/inference.py)."""
 
 from .datasets import DATASETS, HellaSwag, HotpotQA
 from .harness import InferenceHarness, run_eval
+from .perplexity import corpus_perplexity
 from .metrics import (
     embedding_similarity,
     exact_match,
@@ -20,6 +21,7 @@ __all__ = [
     "HotpotQA",
     "InferenceHarness",
     "run_eval",
+    "corpus_perplexity",
     "embedding_similarity",
     "exact_match",
     "extract_final_choice",

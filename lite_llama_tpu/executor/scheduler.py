@@ -121,6 +121,14 @@ class ContinuousBatchingScheduler:
         # EOS ids are immutable for the engine's lifetime; _eos_ids() sits
         # on the host path that overlaps device decode.
         self._eos_cache = None
+        # Per-chunk accounting for steady-state throughput analysis
+        # (VERDICT r4 next #2: separate scheduler overhead from benchmark
+        # artifact — burst ramp-up and drain tail run below full occupancy
+        # and drag the aggregate number). One dict per PROCESSED decode
+        # chunk: completion wall time, occupancy at dispatch (live slots
+        # riding the chunk), and tokens credited from it. Appending a dict
+        # per ~100 ms chunk is noise; see utils/profiling.steady_state_tps.
+        self.chunk_log: List[dict] = []
 
     # -- API ----------------------------------------------------------------
     def submit(
@@ -190,7 +198,8 @@ class ContinuousBatchingScheduler:
         bundle, snapshot = self._inflight
         self._inflight = None
         self._process_chunk(*self.engine.collect_decode_chunk(bundle),
-                            snapshot=snapshot, on_tokens=on_tokens)
+                            snapshot=snapshot, on_tokens=on_tokens,
+                            occupancy=len(snapshot))
 
     # -- internals ------------------------------------------------------------
     def _reject(self, r: Request, reason: str) -> None:
@@ -416,11 +425,12 @@ class ContinuousBatchingScheduler:
         self._inflight = (nxt, snapshot)
 
     def _process_chunk(self, toks, lps, new_done, snapshot=None,
-                       on_tokens=None) -> None:
+                       on_tokens=None, occupancy=None) -> None:
         live = self._session_live
         eos = self._eos_ids()
         src = snapshot if snapshot is not None else self.running
         finished: List[Request] = []
+        emitted_total = 0
         for col, slot in enumerate(live):
             r = src.get(slot)
             if r is None or r.state != "running":
@@ -437,6 +447,7 @@ class ContinuousBatchingScheduler:
                 if t in eos:
                     break
             r.output_tokens.extend(emitted)
+            emitted_total += len(emitted)
             r.output_logprobs.extend(
                 float(v) for v in lps[: len(emitted), col]
             )
@@ -450,6 +461,12 @@ class ContinuousBatchingScheduler:
         for r in finished:
             self._finish(r, "stop" if r.output_tokens and
                          r.output_tokens[-1] in eos else "length")
+        self.chunk_log.append({
+            "t": time.perf_counter(),
+            "occupancy": occupancy if occupancy is not None else len(src),
+            "tokens": emitted_total,
+            "steps": int(toks.shape[0]),
+        })
 
     def _finish(self, r: Request, reason: str) -> None:
         r.state = "done"

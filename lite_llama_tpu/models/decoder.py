@@ -414,6 +414,34 @@ def decoder_prefill(
                     ctx.table_rows, shard.mesh, sm_scale,
                     interpret=ops._interpret(),
                 )
+            elif (
+                shard.cp > 1
+                and shard.tp == 1
+                and ops._use_pallas()
+                and q.shape[1] >= kv_pages.page_size
+                and _ap.pack_factor(
+                    q.shape[-1], cfg.num_key_value_heads
+                ) >= 1
+                and (
+                    kv_pages.quantized
+                    or kv_pages.pages.dtype == k.dtype
+                    or q.dtype == jnp.float32
+                )
+            ):
+                # Context-parallel history walk at KERNEL speed: each cp
+                # shard walks its own pool rows; shard 0 scores the chunk;
+                # states LSE-combine over ICI (VERDICT r4 next #4 — this
+                # used to force_ref, leaving long-prompt prefill off the
+                # kernel exactly where cp is supposed to pay).
+                from ..parallel.context_parallel import (
+                    cp_flash_prefill_chunked,
+                )
+
+                attn = cp_flash_prefill_chunked(
+                    q, k, v, ctx.chunk_lens, ctx.start_pos, kv_pages, li,
+                    ctx.table_rows, shard.mesh, sm_scale=sm_scale,
+                    interpret=ops._interpret(),
+                )
             else:
                 attn = ops.chunked_prefill_attention(
                     q, k, v, ctx.chunk_lens, ctx.start_pos, kv_pages, li,

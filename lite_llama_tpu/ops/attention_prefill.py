@@ -68,16 +68,28 @@ def _prefill_kernel(
     quantized: bool,
     pack_f: int,
     mat_dtype,
+    return_state: bool = False,
 ):
+    # rest = [extra inputs][outputs][scratch]; unpack by the static flags.
     if quantized:
-        (kv_pages_ref, kv_scales_ref, out_ref, k_buf, v_buf,
-         hk_buf, hv_buf, sc_buf, sems) = rest
+        kv_pages_ref, kv_scales_ref, rest = rest[0], rest[1], rest[2:]
     elif has_history:
-        kv_pages_ref, out_ref, k_buf, v_buf, sems = rest
+        kv_pages_ref, rest = rest[0], rest[1:]
         kv_scales_ref = None
     else:
-        out_ref, k_buf, v_buf, sems = rest
         kv_pages_ref = kv_scales_ref = None
+    if return_state:
+        # m/l: running online-softmax state per q row (exp2 domain, scale *
+        # log2(e) folded in — the decode kernel's convention), exported for
+        # the context-parallel cross-shard LSE combine.
+        out_ref, m_ref, l_ref, rest = rest[0], rest[1], rest[2], rest[3:]
+    else:
+        out_ref, rest = rest[0], rest[1:]
+        m_ref = l_ref = None
+    if quantized:
+        k_buf, v_buf, hk_buf, hv_buf, sc_buf, sems = rest
+    else:
+        k_buf, v_buf, sems = rest
     b = pl.program_id(0)
     h = pl.program_id(1)
     qi = pl.program_id(2)
@@ -178,6 +190,12 @@ def _prefill_kernel(
                 c.wait()
 
     out_ref[...] = jnp.zeros_like(out_ref)
+    if return_state:
+        # Identity element of the LSE combine: a program with no work
+        # (empty cp shard) must export (m=-inf, l=0) so its psum terms
+        # vanish.
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
 
     if quantized:
         # Lane-expansion matrix for WHOLE-TILE dequant (right for prefill:
@@ -289,6 +307,13 @@ def _prefill_kernel(
             )
         out = acc / jnp.maximum(l, 1e-30)
         out_ref[0, 0] = out.reshape(G, BQ, D).astype(out_ref.dtype)
+        if return_state:
+            m_ref[0, 0] = jnp.broadcast_to(
+                m.reshape(G, BQ, 1), (G, BQ, 128)
+            )
+            l_ref[0, 0] = jnp.broadcast_to(
+                l.reshape(G, BQ, 1), (G, BQ, 128)
+            )
 
 
 def _prefill_kernel_vmem(
@@ -414,6 +439,7 @@ def pack_factor(head_dim: int, num_kv_heads: int) -> int:
 def _flash_prefill_impl(
     q, k, v, chunk_lens, start_pos, kv_pages, layer, table_rows,
     sm_scale, interpret, block_q, block_k, has_history, head_offset=0,
+    return_state=False,
 ):
     B, S, Nq, D = q.shape
     Hkv = k.shape[2]
@@ -518,10 +544,21 @@ def _flash_prefill_impl(
             pl.BlockSpec(memory_space=pl.ANY),
             *extra_in,
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, G, BQ, D), lambda b, h, i, *_: (b, h, 0, i, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, G, BQ, D), lambda b, h, i, *_: (b, h, 0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ] + ([
+            pl.BlockSpec(
+                (1, 1, G, BQ, 128), lambda b, h, i, *_: (b, h, 0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, G, BQ, 128), lambda b, h, i, *_: (b, h, 0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ] if return_state else []),
         scratch_shapes=scratch,
     )
     kernel = functools.partial(
@@ -533,16 +570,23 @@ def _flash_prefill_impl(
         quantized=quantized,
         pack_f=f,
         mat_dtype=mat_dtype,
+        return_state=return_state,
     )
-    out = pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, S, D), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, G, S, D), q.dtype),
+        ] + ([
+            jax.ShapeDtypeStruct((B, Hkv, G, S, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, G, S, 128), jnp.float32),
+        ] if return_state else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(chunk_lens, start_pos, table_arr, layer_arr, qt, kt, vt, *extra_args)
+    out = res[0]
     if f > 1:
         # Row (j, g)'s true output lives in its own lane block j of the
         # wide [.., f*D0] result (the PV dot also produced cross-head lanes
@@ -552,7 +596,16 @@ def _flash_prefill_impl(
         out6 = out.reshape(B, Hkv, f, G0, S, f, D0)
         eye = jnp.eye(f, dtype=out.dtype)
         out = jnp.einsum("bhjgsld,jl->bhjgsd", out6, eye)
-    return out.reshape(B, Nq, S, q.shape[-1]).transpose(0, 2, 1, 3)
+    out = out.reshape(B, Nq, S, q.shape[-1]).transpose(0, 2, 1, 3)
+    if not return_state:
+        return out
+    # m/l lane 0 carries the value (broadcast across 128 lanes in-kernel);
+    # rows are per (packed) q head — the packed view's row (h, j*G0+g) IS
+    # original head (h*f + j, g), so the plain reshape restores head order.
+    m, l = res[1][..., 0], res[2][..., 0]  # [B, Hkv, G, S]
+    m = m.reshape(B, Nq, S).transpose(0, 2, 1)  # [B, S, Nq]
+    l = l.reshape(B, Nq, S).transpose(0, 2, 1)
+    return out, m, l
 
 
 @functools.partial(
@@ -589,7 +642,10 @@ def flash_prefill(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sm_scale", "interpret", "block_q", "block_k")
+    jax.jit,
+    static_argnames=(
+        "sm_scale", "interpret", "block_q", "block_k", "return_state"
+    ),
 )
 def flash_prefill_chunked(
     q: jax.Array,  # [B, S_c, Nq, D] — this chunk's queries
@@ -606,12 +662,22 @@ def flash_prefill_chunked(
     block_k: int = DEFAULT_BK,
     head_offset: jax.Array | int = 0,  # first GLOBAL kv head of this shard
     # (manual-tp wrappers; only read by the quantized history dequant)
+    return_state: bool = False,  # also return online-softmax (m, l) [B,S,Nq]
 ) -> jax.Array:
     """Chunked prefill: each query attends the request's pool history
     [0, start_pos) plus the causal prefix of the current chunk. VMEM use is
-    independent of both history length and chunk length."""
+    independent of both history length and chunk length.
+
+    ``return_state=True`` additionally returns the per-query online-softmax
+    state ``(m, l)`` (exp2 domain) so a context-parallel caller can
+    LSE-combine partial results across pool shards
+    (parallel/context_parallel.cp_flash_prefill_chunked) — the same export
+    the decode kernel has. Passing ``chunk_lens = 0`` turns the in-chunk
+    causal phase off (``kv_hi = 0``), making the call a pure HISTORY walk:
+    that is how non-leader cp shards contribute only their pool rows while
+    exactly one shard scores the replicated chunk."""
     return _flash_prefill_impl(
         q, k, v, chunk_lens, start_pos, kv_pages, layer, table_rows,
         sm_scale, interpret, block_q, block_k, has_history=True,
-        head_offset=head_offset,
+        head_offset=head_offset, return_state=return_state,
     )

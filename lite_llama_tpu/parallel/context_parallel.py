@@ -50,6 +50,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..executor.kv_cache import KVPool
 from ..ops.attention_decode import fold_new_token, paged_flash_decode
+from ..ops.attention_prefill import flash_prefill_chunked
 
 
 def _local_page_view(page_table, kv_lens, ps, pages_loc, idx):
@@ -195,3 +196,87 @@ def _cp_paged_flash_decode(
     if k_new is None:
         return out
     return fold_new_token(out, m, l, q, k_new, v_new, sm_scale)
+
+
+def cp_flash_prefill_chunked(
+    q: jax.Array,  # [B, S_c, Nq, D] — this chunk's queries (replicated)
+    k: jax.Array,  # [B, S_c, Hkv, D] — this chunk's keys (replicated)
+    v: jax.Array,
+    chunk_lens: jax.Array,  # int32 [B] — valid rows in this chunk
+    start_pos: jax.Array,  # int32 [B] — history tokens already in the pool
+    kv_pool: KVPool,  # pages sharded on the token-row axis over `axis`
+    layer: jax.Array | int,
+    page_table: jax.Array,  # [B, ppr] int32, GLOBAL page ids, replicated
+    mesh: Mesh,
+    axis: str = "cp",
+    sm_scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Chunked-prefill attention with the paged KV pool sharded over
+    ``mesh[axis]`` — the KERNEL path for long prompts under context
+    parallelism (VERDICT r4 next #4: chunked prefill under cp>1 used to
+    silently fall back to the XLA reference, leaving the expensive half of
+    long-context serving off the kernel).
+
+    Decomposition: the attention span of a chunk query is [pool history
+    0..start_pos) ∪ (causal chunk prefix). The history rows are row-sharded
+    over cp, so each shard walks its OWN pool pages through the unmodified
+    chunked-prefill kernel (compacted local page view, exactly the decode
+    path's ``_local_page_view``); the in-chunk causal phase reads the
+    REPLICATED chunk k/v and must count exactly once, so only shard 0 runs
+    it — the others pass ``chunk_lens = 0``, which statically zeroes the
+    chunk phase (``kv_hi = 0``) and makes their call a pure history walk.
+    The per-shard online-softmax states ``(out, m, l)`` then LSE-combine
+    over ICI exactly like the decode path. Empty shards export
+    ``(m = -inf, l = 0)`` — no-op terms.
+
+    Matches ``flash_prefill_chunked`` on a replicated pool up to reduction
+    order; each shard touches only ``1/N`` of the history KV bytes.
+    """
+    N = mesh.shape[axis]
+    ps = kv_pool.page_size
+    D = q.shape[-1]
+    if sm_scale is None:
+        sm_scale = 1.0 / (D**0.5)
+    num_pages = kv_pool.num_pages
+    assert num_pages % N == 0, (
+        f"num_pages={num_pages} must divide over cp axis size {N}"
+    )
+    pages_loc = num_pages // N
+
+    quantized = kv_pool.quantized
+    pool_spec = KVPool(
+        pages=P(None, None, axis, None),
+        scales=P(None, axis, None) if quantized else None,
+        page_size=kv_pool.page_size,
+        num_kv_heads=kv_pool.num_kv_heads,
+        head_dim=kv_pool.head_dim,
+    )
+
+    def local(q, k, v, chunk_lens, start_pos, pool, layer, page_table):
+        idx = jax.lax.axis_index(axis)
+        local_pt, local_hist = _local_page_view(
+            page_table, start_pos, ps, pages_loc, idx
+        )
+        # Exactly one shard scores the (replicated) chunk.
+        eff_chunk = jnp.where(idx == 0, chunk_lens, 0)
+        out, m, l = flash_prefill_chunked(
+            q, k, v, eff_chunk, local_hist, pool, layer, local_pt,
+            sm_scale=sm_scale, interpret=interpret, return_state=True,
+        )
+        m_star = jax.lax.pmax(m, axis)  # [B, S, Nq]
+        w = l * jnp.exp2(m - m_star)
+        l_star = jax.lax.psum(w, axis)
+        acc = jax.lax.psum(out.astype(jnp.float32) * w[..., None], axis)
+        return (acc / jnp.maximum(l_star, 1e-30)[..., None]).astype(q.dtype)
+
+    from ..ops.qmatmul import _ctx_mesh
+
+    return jax.shard_map(
+        local,
+        mesh=_ctx_mesh(mesh),
+        in_specs=(P(), P(), P(), P(), P(), pool_spec, P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(q, k, v, chunk_lens, start_pos, kv_pool,
+      jnp.asarray(layer, jnp.int32), page_table)

@@ -37,6 +37,62 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+def steady_state_tps(chunk_log, full_occupancy: int,
+                     min_frac: float = 1.0) -> Optional[dict]:
+    """Steady-state serving throughput from a scheduler's ``chunk_log``.
+
+    A burst benchmark's aggregate tokens/s blends three regimes: the
+    ramp-up (queue filling, prefills compiling slots in), the steady window
+    (every slot live), and the drain tail (last requests finishing at
+    falling occupancy). VERDICT r4 next #2: report the steady window
+    separately so scheduler overhead is measured, not argued.
+
+    Args:
+      chunk_log: list of {"t", "occupancy", "tokens", "steps"} dicts, one
+        per processed decode chunk (ContinuousBatchingScheduler.chunk_log).
+      full_occupancy: the slot count that counts as "full" (engine
+        max_reqs).
+      min_frac: occupancy fraction (of full_occupancy) a chunk needs to be
+        counted as steady; 1.0 = strictly full.
+
+    Returns a dict with the steady-window tokens/s, its span, and the
+    occupancy-weighted tokens/s over the WHOLE run (tokens per
+    slot-second x full occupancy — what throughput would be if every
+    chunk had run full), or None if no steady window exists. Chunk
+    durations are completion-to-completion deltas; the first chunk has no
+    predecessor and is dropped.
+    """
+    if len(chunk_log) < 2:
+        return None
+    thr = full_occupancy * min_frac
+    steady_tok = steady_dt = 0.0
+    w_occ_dt = tot_tok = tot_dt = 0.0
+    n_steady = 0
+    for prev, cur in zip(chunk_log, chunk_log[1:]):
+        dt = cur["t"] - prev["t"]
+        if dt <= 0:
+            continue
+        tot_tok += cur["tokens"]
+        tot_dt += dt
+        w_occ_dt += cur["occupancy"] * dt
+        if cur["occupancy"] >= thr:
+            steady_tok += cur["tokens"]
+            steady_dt += dt
+            n_steady += 1
+    if steady_dt <= 0 or tot_dt <= 0:
+        return None
+    return {
+        "steady_tokens_per_s": round(steady_tok / steady_dt, 1),
+        "steady_window_s": round(steady_dt, 2),
+        "steady_chunks": n_steady,
+        "total_chunks": len(chunk_log) - 1,
+        "occupancy_weighted_tokens_per_s": round(
+            tot_tok / w_occ_dt * full_occupancy, 1
+        ) if w_occ_dt > 0 else None,
+        "mean_occupancy": round(w_occ_dt / tot_dt, 2),
+    }
+
+
 class MetricsLogger:
     """Engine throughput metrics as JSON lines.
 

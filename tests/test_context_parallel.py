@@ -268,3 +268,151 @@ def test_cp_rejects_mis_sharded_pool():
         cp_paged_flash_decode(  # replicated pool: not P(None,None,cp,None)
             q, kv_pool, 0, table, lens_arr, mesh, interpret=True,
         )
+
+
+# ---------------------------------------------------------------------------
+# Context-parallel CHUNKED PREFILL at kernel speed (VERDICT r4 next #4: the
+# history walk used to force_ref under cp>1, leaving long-prompt prefill —
+# exactly where cp should pay — off the kernel path)
+
+
+from lite_llama_tpu.parallel.context_parallel import cp_flash_prefill_chunked
+
+
+def _chunk_history_fixture(key, B, Hkv, D, ps, Pg, lens_total, S_hist, S_c,
+                           quantized=False):
+    """History pool (first S_hist tokens in pages) + chunk q/k/v."""
+    from lite_llama_tpu.executor.kv_cache import (
+        alloc_prefill, create_kv_cache, kv_write_prefill,
+    )
+
+    L = 2
+    cache = create_kv_cache(
+        L, Hkv, D, num_pages=Pg, page_size=ps, max_reqs=B,
+        max_seq_len=S_hist + S_c, dtype=jnp.float32,
+        quantized=quantized,
+    )
+    req = jnp.arange(B, dtype=jnp.int32)
+    lens_arr = jnp.asarray(lens_total, jnp.int32)
+    cache = alloc_prefill(cache, req, lens_arr)
+    k_full = jax.random.normal(key, (B, S_hist + S_c, Hkv, D), jnp.float32)
+    v_full = jax.random.normal(
+        jax.random.fold_in(key, 1), (B, S_hist + S_c, Hkv, D), jnp.float32
+    )
+    hist_lens = jnp.minimum(lens_arr, S_hist)
+    for li in range(L):
+        cache.kv_pages = kv_write_prefill(
+            cache.kv_pages, li, k_full[:, :S_hist], v_full[:, :S_hist],
+            cache.page_table[req], jnp.zeros((B,), jnp.int32), hist_lens,
+        )
+    chunk_lens = jnp.clip(lens_arr - S_hist, 0, S_c)
+    q = jax.random.normal(
+        jax.random.fold_in(key, 2), (B, S_c, 4, D), jnp.float32
+    )
+    return cache, req, q, k_full[:, S_hist:], v_full[:, S_hist:], \
+        chunk_lens, hist_lens
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_cp_chunked_prefill_matches_replicated(quantized):
+    """Sharded history walk + leader-only chunk phase + LSE combine must
+    reproduce the replicated chunked-prefill result (both layers; one
+    request fully inside history so its chunk rows are empty)."""
+    B, Hkv, D, ps, Pg = 2, 2, 128, 16, 32
+    S_hist, S_c = 32, 16
+    mesh = cp_mesh(4)
+    cache, req, q, k_c, v_c, chunk_lens, hist_lens = _chunk_history_fixture(
+        jax.random.PRNGKey(0), B, Hkv, D, ps, Pg, [40, 25], S_hist, S_c,
+        quantized=quantized,
+    )
+    pool_sharded = shard_pool(cache.kv_pages, mesh)
+    table = cache.page_table[req]
+    for layer in (0, 1):
+        want = ref.chunked_prefill_attention(
+            q, k_c, v_c, chunk_lens, hist_lens, cache.kv_pages, layer, table,
+        )
+        got = cp_flash_prefill_chunked(
+            q, k_c, v_c, chunk_lens, hist_lens, pool_sharded, layer, table,
+            mesh, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4,
+            err_msg=f"layer={layer} quantized={quantized}",
+        )
+
+
+def test_cp_chunked_prefill_no_history():
+    """First chunk of a prompt (start_pos = 0): only the leader's causal
+    chunk phase contributes; non-leader shards export identity states."""
+    B, Hkv, D, ps, Pg = 2, 2, 128, 16, 32
+    S_c = 32
+    mesh = cp_mesh(4)
+    cache, req, q, k_c, v_c, chunk_lens, hist_lens = _chunk_history_fixture(
+        jax.random.PRNGKey(3), B, Hkv, D, ps, Pg, [20, 32], 0, S_c,
+    )
+    pool_sharded = shard_pool(cache.kv_pages, mesh)
+    table = cache.page_table[req]
+    want = ref.chunked_prefill_attention(
+        q, k_c, v_c, chunk_lens, hist_lens, cache.kv_pages, 0, table,
+    )
+    got = cp_flash_prefill_chunked(
+        q, k_c, v_c, chunk_lens, hist_lens, pool_sharded, 0, table,
+        mesh, interpret=True,
+    )
+    B_, S_, Nq_ = got.shape[:3]
+    valid = np.asarray(chunk_lens)
+    for b in range(B_):
+        np.testing.assert_allclose(
+            np.asarray(got)[b, : valid[b]], np.asarray(want)[b, : valid[b]],
+            rtol=2e-4, atol=2e-4,
+        )
+
+
+def test_cp_engine_chunked_prefill_kernel_path(monkeypatch):
+    """VERDICT r4 next #4 done-criterion: a cp=4 engine prefilling a
+    multi-chunk prompt routes chunked prefill through the Pallas cp kernel
+    (probe-asserted) and generates the same greedy tokens as the
+    single-device kernel engine."""
+    import lite_llama_tpu.ops as ops_mod
+    from lite_llama_tpu import parallel as _par  # noqa: F401
+    import lite_llama_tpu.parallel.context_parallel as cp_mod
+    from lite_llama_tpu.config import LlamaConfig
+    from lite_llama_tpu.executor.engine import InferenceEngine
+    from lite_llama_tpu.generation.generate import TextGenerator
+    from lite_llama_tpu.models.decoder import init_decoder_params
+    from lite_llama_tpu.parallel.shardings import make_mesh
+
+    cfg = LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=128,
+        vocab_size=97, max_seq_len=256, dtype=jnp.float32, eos_token_id=96,
+    )
+    params = init_decoder_params(cfg, jax.random.PRNGKey(1))
+    rng = np.random.default_rng(13)
+    prompts = [rng.integers(0, 96, size=n).tolist() for n in (70, 45)]
+    kw = dict(page_size=8, max_reqs=2, num_pages=64, prefill_chunk=32)
+    calls = []
+    real = cp_mod.cp_flash_prefill_chunked
+
+    def probe(*a, **k):
+        calls.append(True)
+        return real(*a, **k)
+
+    monkeypatch.setattr(cp_mod, "cp_flash_prefill_chunked", probe)
+    prev = ops_mod._BACKEND
+    ops_mod.set_backend("pallas")
+    try:
+        base = InferenceEngine(cfg, params, **kw)
+        want = [
+            o.token_ids for o in TextGenerator(base).generate_tokens(
+                prompts, max_gen_len=5, temperature=0.0)
+        ]
+        eng = InferenceEngine(cfg, params, mesh=make_mesh(cp=4), **kw)
+        got = [
+            o.token_ids for o in TextGenerator(eng).generate_tokens(
+                prompts, max_gen_len=5, temperature=0.0)
+        ]
+    finally:
+        ops_mod.set_backend(prev if prev else "auto")
+    assert calls, "cp engine did not route chunked prefill via the cp kernel"
+    assert got == want

@@ -198,3 +198,64 @@ class TestHarness:
         assert set(scores) == {"EM", "F1 (penalized)", "Jaccard",
                                "Embedding Sim"}
         assert all(0.0 <= v <= 1.0 for v in scores.values())
+
+
+def test_corpus_perplexity_quant_parity():
+    """corpus_perplexity scores through the engine's chunked-prefill path;
+    int8 weight quantization must hold NLL within its validation gate on
+    the tiny fixture (docs/validation.md; VERDICT r4 next #8)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lite_llama_tpu.config import LlamaConfig
+    from lite_llama_tpu.eval import corpus_perplexity
+    from lite_llama_tpu.models.decoder import init_decoder_params
+    from lite_llama_tpu.quant.qtensor import quantize_decoder_params
+
+    cfg = LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=97,
+        max_seq_len=128, dtype=jnp.float32,
+    )
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    seqs = [rng.integers(0, 97, size=n).tolist() for n in (60, 40, 33)]
+    r_bf = corpus_perplexity(cfg, params, seqs, chunk=32, batch_size=2,
+                             page_size=8)
+    assert r_bf["tokens"] == sum(n - 1 for n in (60, 40, 33))
+    assert 0 < r_bf["perplexity"] < cfg.vocab_size * 4
+    r_q = corpus_perplexity(
+        cfg, quantize_decoder_params(params, jnp.int8), seqs,
+        chunk=32, batch_size=2, page_size=8,
+    )
+    assert abs(r_q["nll"] - r_bf["nll"]) < 0.01, (r_bf, r_q)
+    # int8-KV pool: history reads go through the quantized pool.
+    r_kv = corpus_perplexity(cfg, params, seqs, kv_quant=True, chunk=32,
+                             batch_size=2, page_size=8)
+    assert abs(r_kv["nll"] - r_bf["nll"]) < 0.02, (r_bf, r_kv)
+
+
+def test_validate_dry_fixture():
+    """The one-command validation recipe end to end: tiny HF model through
+    the REAL converter, every quantized config scored + gated
+    (examples/validate.py --dry-fixture; docs/validation.md)."""
+    import json
+    import subprocess
+    import sys
+    import os
+
+    pytest.importorskip("torch")
+    pytest.importorskip("transformers")
+    root = os.path.join(os.path.dirname(__file__), "..")
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "examples", "validate.py"),
+         "--dry-fixture", "--configs", "bf16,int8,int8_kv"],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    last = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    r = json.loads(last)
+    assert r["all_pass"] is True
+    assert r["configs"]["int8"]["pass"] is True
+    assert r["configs"]["int8_kv"]["pass"] is True

@@ -131,6 +131,68 @@ def test_exact_masks_agree_with_definitions():
     assert int(jnp.sum(jnp.isfinite(mp[1]))) == V
 
 
+def test_high_temperature_wide_nucleus_matches_exact():
+    """VERDICT r4 next #6 done-criterion: temperature 2.0 / top_p 0.95 —
+    the flattened distribution's 0.95-nucleus far exceeds the rank-64
+    candidate pool, so the request must escalate to the exact path. TV of
+    sampled frequencies vs the analytic top-p distribution < 0.05."""
+    from lite_llama_tpu.generation.sampling import needs_exact_sampling
+
+    assert needs_exact_sampling(2.0, 0.95, 0)
+    assert needs_exact_sampling(1.5, 0.91, 0)
+    assert not needs_exact_sampling(2.0, 0.9, 0)  # nucleus bounded by 0.9
+    assert not needs_exact_sampling(1.0, 0.95, 0)  # unflattened
+
+    V, N = 1024, 120_000
+    rng = np.random.default_rng(4)
+    logits = jnp.asarray((2.0 * rng.normal(size=(1, V))).astype(np.float32))
+    temp, top_p = 2.0, 0.95
+    params = SamplingParams.make(1, temperature=temp, top_p=top_p, top_k=0)
+    draws = _draw(logits, params, N)
+    distinct = len(set(draws.reshape(-1).tolist()))
+    assert distinct > 2 * NUCLEUS_K, distinct  # escaped the candidate pool
+    masked = top_p_mask(logits / temp, jnp.asarray([top_p]))
+    p_exact = np.asarray(jax.nn.softmax(masked, axis=-1))[0]
+    tv = 0.5 * np.abs(_freqs(draws, V) - p_exact).sum()
+    assert tv < 0.05, tv
+
+
+@pytest.mark.quick
+def test_approx_top_p_cutoff_uses_true_tail_mass():
+    """The approx path's top-p cutoff normalizes by the FULL-vocab
+    logsumexp: when the nucleus fits inside the rank-64 candidates the kept
+    set must equal the exact path's (a within-candidate softmax overstates
+    candidate mass and over-truncates — it would keep fewer tokens)."""
+    V, top_p = 4096, 0.9
+    # Head: 64 strictly-decreasing logits carrying ~92% of the mass (the
+    # 0.9-nucleus fits inside the candidates); tail: uniform logits tuned
+    # to carry the remaining ~8%. A within-candidate softmax inflates head
+    # probabilities by ~1/0.92, reaching the 0.9 cutoff several tokens
+    # early.
+    head = np.linspace(3.2, 2.8, NUCLEUS_K)
+    head_mass = np.exp(head).sum()
+    tail_per_tok = head_mass * (0.08 / 0.92) / (V - NUCLEUS_K)
+    tail = np.full(V - NUCLEUS_K, np.log(tail_per_tok))
+    logits = jnp.asarray(np.concatenate([head, tail])[None].astype(np.float32))
+    masked = top_p_mask(logits, jnp.asarray([top_p]))
+    exact_kept = int(jnp.sum(jnp.isfinite(masked)))
+    assert exact_kept <= NUCLEUS_K  # nucleus fits: approx must match exact
+    # The fixture must actually discriminate: the old within-candidate
+    # renormalized cutoff would keep strictly fewer tokens.
+    p_cand = np.exp(head) / head_mass
+    csum = np.cumsum(p_cand)
+    cand_kept = int(np.sum((csum - p_cand) < top_p))
+    assert cand_kept < exact_kept, (cand_kept, exact_kept)
+
+    params = SamplingParams.make(1, temperature=1.0, top_p=top_p, top_k=0)
+    draws = _draw(logits, params, 40_000)
+    distinct = set(draws.reshape(-1).tolist())
+    # Every exact-kept token is reachable and nothing outside it is drawn
+    # (min kept prob ~1.1%, so 40k draws hit all of them w.h.p.).
+    assert max(distinct) == exact_kept - 1, (max(distinct), exact_kept)
+    assert len(distinct) == exact_kept, (len(distinct), exact_kept)
+
+
 @pytest.mark.slow
 def test_sub_one_temperature_untruncated_matches_exact():
     """VERDICT r3 next #7 done-criterion: a temperature-0.9 / top_p-1.0
