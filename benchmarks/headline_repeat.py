@@ -56,10 +56,12 @@ def main():
     if quant:
         qdtypes = {"int8": jnp.int8, "int4": jnp.int4,
                    "fp8": jnp.float8_e4m3fn}
+        riffle = os.environ.get("BENCH_RIFFLE", "1") == "1"
         params = quantize_decoder_params(
             params, qdtypes[quant], drop_originals=True,
             group_size=128 if quant == "int4" else None,
-            sigma_ffn=quant == "int4",
+            sigma_ffn=quant == "int4" and not riffle,
+            riffle=quant == "int4" and riffle,
         )
     engine = build_engine(cfg, params, bs, prompt_len, gen_len, 64, chunk,
                           kv_quant)

@@ -156,6 +156,14 @@ def fuse_qkv_params(params: dict, tp: int = 1) -> dict:
         return params
     layers = dict(params["layers"])
     wq, wkv = layers.pop("wq"), layers.pop("wkv")
+    if isinstance(wq, QTensor) and (
+        getattr(wq, "riffle_groups", 0) or getattr(wkv, "riffle_groups", 0)
+    ):
+        raise ValueError(
+            "cannot byte-fuse riffle-packed wq/wkv (riffled bytes carry no "
+            "contiguous canonical column slices) — quantize_decoder_params"
+            "(riffle=True) fuses the bf16 weights before packing instead"
+        )
     if isinstance(wq, QTensor):
         L, H = wq.q.shape[0], wq.q.shape[1]
         Nq, D = wq.out_shape
@@ -235,7 +243,10 @@ def _project_qkv(cfg, lp, x, shard):
         )
         if "qkv_bias" in lp:
             qkv = qkv + lp["qkv_bias"]
-        t = shard.tp
+        # Unfuse with the tp the head order was BUILT for (stored on
+        # quantize-time-fused tensors; engine-fused weights match the
+        # running mesh).
+        t = getattr(lp["wqkv"], "fused_tp", 0) or shard.tp
         batch = qkv.shape[:-2]
         g = qkv.reshape(*batch, t, (Nq + 2 * Nkv) // t, D)
         nq, nkv = Nq // t, Nkv // t
@@ -284,6 +295,16 @@ def _mlp(cfg, lp, x, shard):
                 ],
                 axis=-1,
             ).reshape(*y.shape[:-1], 2 * N * q)
+        elif w.riffle_groups > 1:
+            # Riffle-flat layout: the kernel output is CANONICAL per tp
+            # block — [gate_b | up_b] halves per block (no σ quarters, no
+            # row permutation in down_proj). Pure view reshapes.
+            N = w.riffle_groups
+            q = y.shape[-1] // (2 * N)
+            y4 = y.reshape(*y.shape[:-1], N, 2, q)
+            out = ops.swiglu(y4[..., 0, :], y4[..., 1, :]).reshape(
+                *y.shape[:-1], N * q
+            )
         else:
             half = y.shape[-1] // 2
             out = ops.swiglu(y[..., :half], y[..., half:])

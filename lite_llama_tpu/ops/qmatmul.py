@@ -81,6 +81,14 @@ def _pick_block(n: int, candidates=(512, 256, 128)) -> int | None:
 
 
 _BC_MAX = int(os.environ.get("LITE_LLAMA_TPU_QMM_BC", "4096"))
+# TIMING-ONLY A/B for the riffle-packed column order idea
+# (docs/performance_optimization.md): =1 skips the canonical even/odd
+# interleave on EVERY packed matmul output — byte-identical traffic and
+# FLOPs to what a riffle-packed weight layout would execute, but the
+# output columns come back σ-ordered, so results are WRONG outside
+# throughput measurement. Measures the interleave's true end-to-end cost
+# without committing to the whole-model hidden-axis re-layout.
+_QMM_RIFFLE_AB = os.environ.get("LITE_LLAMA_TPU_QMM_RIFFLE_AB", "0") == "1"
 # One concatenated (b | b&15) dot per group instead of two (default ON:
 # measured 4.773 vs 4.827 ms/step at the 3B int4+int8KV config — the dots
 # are MXU-latency-bound at decode M, so halving the issue count slightly
@@ -503,6 +511,6 @@ def quantized_matmul_packed(
     # the extra [M, O] scale pass cost ~0.3 ms/step at 3B). Only the
     # canonical column order remains: even/odd interleave on the small
     # result (or a cheap concat in σ order).
-    if interleave:
+    if interleave and not _QMM_RIFFLE_AB:
         return jnp.stack([ye, yo], axis=-1).reshape(M, 2 * Oh)
     return jnp.concatenate([ye, yo], axis=-1)

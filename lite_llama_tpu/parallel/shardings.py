@@ -152,6 +152,24 @@ class ShardingPolicy:
                         "(quant/qtensor.quantize_decoder_params) or with "
                         "sigma_ffn=False."
                     )
+                if self.tp > 1 and leaf.riffle_groups:
+                    # 'out'-sharded byte axes need one riffle block per tp
+                    # shard; 'contract' weights keep the output axis whole,
+                    # so they need the single whole-axis block.
+                    want = (
+                        self.tp
+                        if name in ("wq", "wqkv", "gate_up_proj")
+                        else 1
+                    )
+                    if leaf.riffle_groups != want:
+                        raise ValueError(
+                            f"riffle-packed quantized '{name}' was laid "
+                            f"out for riffle_groups={leaf.riffle_groups} "
+                            f"but the tp={self.tp} mesh needs {want}. "
+                            "Quantize with riffle_tp=<mesh tp> "
+                            "(quant/qtensor.quantize_decoder_params) or "
+                            "with riffle=False."
+                        )
                 if name == "gate_up_proj" and leaf.q.ndim == 3:
                     # σ-FFN flat layout [L, C, O]: O-sharded spec — with
                     # sigma_groups == tp each contiguous shard is one σ
@@ -182,6 +200,16 @@ class ShardingPolicy:
         }
         if "lm_head" in params:
             if _is_qtensor(params["lm_head"]):
+                lm = params["lm_head"]
+                if self.tp > 1 and lm.riffle_groups and (
+                    lm.riffle_groups != self.tp
+                ):
+                    raise ValueError(
+                        "riffle-packed lm_head was laid out for "
+                        f"riffle_groups={lm.riffle_groups} but its vocab "
+                        f"axis shards over tp={self.tp}: quantize with "
+                        "riffle_tp=<mesh tp>."
+                    )
                 specs["lm_head"] = (self._ns(None, "tp"), self._ns("tp"))
             else:
                 specs["lm_head"] = self._ns(None, "tp")  # [H, V]

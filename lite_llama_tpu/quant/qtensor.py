@@ -104,6 +104,26 @@ class QTensor:
     # with tensor parallelism (shardings.py requires sigma_groups == tp).
     # 1 = the single-device layout (whole-axis σ).
     sigma_groups: int = field(default=1, metadata=dict(static=True))
+    # RIFFLE-packed column order (quantize(riffle_blocks=N), round 5):
+    # byte j of block b packs canonical block columns (j, j + Wb/2) — lo
+    # nibble the first half, hi nibble the second — so the packed matmul's
+    # natural no-interleave [evens | odds] output IS the canonical column
+    # order (per block). This deletes the canonical-order interleave copy
+    # from EVERY packed matmul and needs NO consumer-side permutations
+    # (measured +8.0% on the int4+int8KV headline: 2188 -> 2363 tok/s,
+    # docs/performance_optimization.md round 5). N > 1 blocks make it
+    # tp-composable exactly like sigma_groups (one contiguous byte shard =
+    # one block whose concat output is its canonical slice). 0 = classic
+    # adjacent-pair packing. Scale pairing follows the byte: scale[j]
+    # covers canonical cols (j, j + Wb/2). Mutually exclusive with σ.
+    riffle_groups: int = field(default=0, metadata=dict(static=True))
+    # For fused wqkv tensors: the tensor-parallel degree the SHARD-PERIODIC
+    # head order was built for (models/decoder.fuse_qkv_params). The
+    # unfuse reshape must use THIS value, not the running mesh's tp — a
+    # riffle tree is fused at quantization time (riffle_tp) and may run on
+    # a smaller mesh (e.g. single-chip tests of tp-layout weights). 0 =
+    # unset (engine-fused at init; the running shard.tp is then correct).
+    fused_tp: int = field(default=0, metadata=dict(static=True))
     # Set (to a traced scalar) inside the decoder's layer scan: q/scale stay
     # LAYER-STACKED and ``layer`` indexes axis 0 at use time — the Pallas
     # matmul kernel then block-reads the layer's tiles straight from the
@@ -152,10 +172,23 @@ class QTensor:
         )
 
     def dequant(self, dtype=jnp.bfloat16) -> jax.Array:
-        w = self.unpack().astype(jnp.float32)
-        self = dataclasses.replace(
-            self, scale=jnp.repeat(self.scale, 2, axis=-1)
-        ) if self.packed else self  # paired [.., O/2] -> canonical [.., O]
+        if self.riffle_groups:
+            # Riffle order: lo-nibble columns are each block's FIRST half,
+            # hi the SECOND — per-block concat (not interleave) restores
+            # the stored-axis canonical order, and the paired scale tiles
+            # the same way (scale[j] covers cols (j, j + Wb/2)).
+            even, odd = self.unpack_halves()
+            N = self.riffle_groups
+            w = _sigma_concat(even.astype(jnp.float32),
+                              odd.astype(jnp.float32), N)
+            self = dataclasses.replace(
+                self, scale=_sigma_concat(self.scale, self.scale, N)
+            )
+        else:
+            w = self.unpack().astype(jnp.float32)
+            self = dataclasses.replace(
+                self, scale=jnp.repeat(self.scale, 2, axis=-1)
+            ) if self.packed else self  # paired [.., O/2] -> canonical
         if self.grouped:
             nG = self.scale.shape[-2]
             C, O = w.shape[-2], w.shape[-1]
@@ -192,7 +225,7 @@ class QTensor:
 
 def quantize(
     w: jax.Array, contract_axes, qdtype=jnp.int8,
-    group_size: int | None = None,
+    group_size: int | None = None, riffle_blocks: int = 0,
 ) -> QTensor:
     """Symmetric per-output-channel quantization over ``contract_axes``.
 
@@ -203,7 +236,18 @@ def quantize(
     ``qdtype=jnp.int4`` stores packed nibble pairs in int8 (see QTensor).
     ``group_size`` (must divide C) switches to C-grouped scales
     [*stack, C/group_size, O] — the standard accuracy recovery for int4's
-    16-level grid (per-channel int4 over a 3k-deep contraction is lossy)."""
+    16-level grid (per-channel int4 over a 3k-deep contraction is lossy).
+
+    ``riffle_blocks=N`` (int4 only) stores the RIFFLE column order: per
+    block of the (padded) output axis, byte j packs canonical block
+    columns (j, j + Wb/2), so the packed matmul's no-interleave
+    [evens | odds] output is already canonical (QTensor.riffle_groups).
+    Implemented as a column pre-permutation before the standard pair
+    packing — permuted col 2j = block col j, col 2j+1 = block col
+    j + Wb/2 — which also pairs the scales correctly. Lane-alignment
+    padding composes: pad columns land at the END of the recombined
+    canonical axis, so consumers' trailing [:O_logical] slice stays
+    valid (unlike σ, which needs per-half slicing)."""
     contract_axes = tuple(
         sorted(
             ax % w.ndim
@@ -238,6 +282,26 @@ def quantize(
             # padded tensor — no extra field needed).
             O_pad = -(-O // 1024) * 1024
             w2 = jnp.pad(w2, [(0, 0)] * (w2.ndim - 1) + [(0, O_pad - O)])
+        if riffle_blocks:
+            # Riffle column pre-permutation (AFTER padding, so the perm is
+            # over the stored axis): permuted col 2j = block col j,
+            # permuted col 2j+1 = block col j + Wb/2. Standard pair
+            # packing of the permuted matrix then yields the riffle bytes
+            # AND the correctly-paired scales.
+            N = riffle_blocks
+            O_p = w2.shape[-1]
+            assert O_p % N == 0 and (O_p // N) % 2 == 0, (O_p, N)
+            Wb = O_p // N
+            half = Wb // 2
+            idx_blk = jnp.stack(
+                [jnp.arange(half), half + jnp.arange(half)], axis=-1
+            ).reshape(-1)
+            perm = (
+                jnp.arange(N)[:, None] * Wb + idx_blk[None, :]
+            ).reshape(-1)
+            w2 = jnp.take(w2, perm, axis=-1)
+    else:
+        assert not riffle_blocks, "riffle_blocks is int4-packing-only"
     if group_size is not None:
         assert C % group_size == 0, (C, group_size)
     # The fp32 math runs JITTED and per-stack-slice: quantizing a stacked 3B
@@ -254,6 +318,7 @@ def quantize(
         unit_shape=tuple(w.shape[first:]),
         out_shape=tuple(out_shape),
         packed=jnp.dtype(qdtype) == jnp.dtype(jnp.int4),
+        riffle_groups=int(riffle_blocks),
     )
 
 
@@ -364,6 +429,15 @@ def _qeinsum_layered(
         and (
             not (w.sigma_out or w.sigma_in) or w.sigma_groups == tp
         )
+        # Riffle tensors compose per kind: 'out' shards the byte axis, so
+        # one tp shard must be one riffle block (groups == tp); 'contract'
+        # keeps the output axis whole on every shard, so the layout must
+        # be the single whole-axis block (groups == 1) whose per-shard
+        # [evens | odds] concat is already canonical.
+        and (
+            not w.riffle_groups
+            or w.riffle_groups == (tp if tp_kind == "out" else 1)
+        )
         and _ops._use_pallas()
         and _qmm.qmm_tp_supported(tp_kind, C, Os, nG, M, tp)
     )
@@ -397,24 +471,26 @@ def _qeinsum_layered(
             return y[:, :O_logical]
 
         interpret = jax.default_backend() != "tpu"
+        interleave = not (w.sigma_out or w.riffle_groups)
         if use_tp_kernel:
+            # σ: per-shard concat = the shard's σ block. Riffle
+            # (riffle_groups == tp enforced above): per-shard concat = the
+            # shard's CANONICAL block, so the gathered output is canonical.
             outs = [
                 _unpad(
                     _qmm.quantized_matmul_packed_tp(
                         xr, qf, sf, w.layer * n_rest + j, shard.mesh,
                         tp_kind, out_dtype=dt, interpret=interpret,
-                        interleave=not w.sigma_out,
+                        interleave=interleave,
                     )
                 )
                 for j in range(n_rest)
             ]
         else:
             outs = [
-                _unpad(
-                    _qmm.quantized_matmul_packed(
-                        xr, qf, sf, w.layer * n_rest + j, out_dtype=dt,
-                        interleave=not w.sigma_out, interpret=interpret,
-                    )
+                _qmm.quantized_matmul_packed(
+                    xr, qf, sf, w.layer * n_rest + j, out_dtype=dt,
+                    interleave=interleave, interpret=interpret,
                 )
                 for j in range(n_rest)
             ]
@@ -432,6 +508,19 @@ def _qeinsum_layered(
                     )
                     for y in outs
                 ]
+            elif w.riffle_groups > 1:
+                # Single-chip run of riffle-tp weights: whole-axis
+                # [evens | odds] -> per-block canonical concat (pad still
+                # lands at the end, _unpad's trailing slice stays valid).
+                outs = [
+                    _sigma_concat(
+                        y[..., : y.shape[-1] // 2],
+                        y[..., y.shape[-1] // 2:],
+                        w.riffle_groups,
+                    )
+                    for y in outs
+                ]
+            outs = [_unpad(y) for y in outs]
         y = outs[0] if not rest else jnp.stack(outs, axis=1)
         batch = x.shape[: x.ndim - _contract_ndims(x, C)]
         return y.reshape(*batch, *rest, *w.out_shape).astype(dt)
@@ -446,6 +535,8 @@ def _qeinsum_layered(
         sigma_out=w.sigma_out,
         sigma_in=w.sigma_in,
         sigma_groups=w.sigma_groups,
+        riffle_groups=w.riffle_groups,
+        fused_tp=w.fused_tp,
     )
     return qeinsum(pattern, x, sliced, out_dtype)
 
@@ -575,6 +666,12 @@ def qeinsum(
             y = _sigma_concat(
                 ys[0][..., :h], ys[1][..., :h], w.sigma_groups
             )
+        elif w.riffle_groups:
+            # Riffle order: per-block concat of the halves IS canonical,
+            # with any lane-alignment pad at the very end.
+            y = _sigma_concat(ys[0], ys[1], w.riffle_groups)[
+                ..., :O_logical
+            ]
         else:
             y = _interleave_last(*ys)[..., :O_logical]
         return y.reshape(*batch, *w.q.shape[:-2], *w.out_shape).astype(dt)
@@ -596,7 +693,7 @@ _LAYER_QUANT_AXES = {
 def quantize_decoder_params(
     params: dict, qdtype=jnp.int8, drop_originals: bool = False,
     group_size: int | None = None, sigma_ffn: bool = False,
-    sigma_tp: int = 1,
+    sigma_tp: int = 1, riffle: bool = False, riffle_tp: int = 1,
 ) -> dict:
     """Quantize the projection matrices of a decoder param tree (returns a
     new tree; norms/biases/embed untouched).
@@ -618,11 +715,61 @@ def quantize_decoder_params(
     stored axis is exactly one block, and each shard's manual-tp kernel
     output is already in its block's σ order (no cross-shard interleave).
     Quantize with sigma_tp == the serving mesh's tp (the sharding layer
-    enforces the match); sigma_tp=1 is the single-device layout."""
+    enforces the match); sigma_tp=1 is the single-device layout.
+
+    ``riffle=True`` (packed int4; round 5 — supersedes σ-FFN and measured
+    +8.0% on the int4+int8KV headline) stores EVERY packed weight in the
+    riffle column order (quantize(riffle_blocks=N)): the kernel's natural
+    no-interleave output is already canonical, so the even/odd interleave
+    copy disappears from every matmul of the step — wqkv, o_proj, gate_up,
+    down AND lm_head — with no consumer-side permutations at all. gate_up
+    additionally flattens to one [L, H, 2I] matmul (one launch per layer,
+    the same launch saving σ had), laid out per riffle block as
+    [gate_b | up_b] so SwiGLU splits each block's halves elementwise.
+    ``riffle_tp=N`` makes it tensor-parallel composable the same way
+    sigma_tp does (one contiguous byte shard = one block; the sharding
+    layer enforces riffle_groups == tp). Mutually exclusive with
+    sigma_ffn."""
+    sigma = sigma_ffn and jnp.dtype(qdtype) == jnp.dtype(jnp.int4)
+    riff = riffle and jnp.dtype(qdtype) == jnp.dtype(jnp.int4)
+    assert not (sigma and riff), (
+        "sigma_ffn and riffle are mutually exclusive packing layouts"
+    )
+    N = max(int(sigma_tp), 1)
+    Nr = max(int(riffle_tp), 1) if riff else 0
+    if riff and "wq" in params.get("layers", {}):
+        # Riffled bytes have no contiguous-canonical-slice semantics, so a
+        # POST-quantization byte-concat fusion (models/decoder.py
+        # fuse_qkv_params on QTensors) cannot apply — fuse the bf16
+        # weights FIRST (shard-periodic for riffle_tp, matching the tp
+        # byte shards) and riffle-quantize the fused wqkv. Note: this
+        # builds the fused copy before quantization, so drop_originals
+        # peak memory is one fused-qkv bf16 tensor higher.
+        from ..models.decoder import fuse_qkv_params
+
+        fused = fuse_qkv_params(params, tp=Nr)
+        if drop_originals:
+            # Preserve drop_originals' memory contract: fuse_qkv_params
+            # returns a NEW layers dict, so popping from it would leave the
+            # caller's tree holding every bf16 weight (the whole point of
+            # drop_originals is freeing each one as its quantized
+            # replacement lands — without this, quantizing a 3B tree peaked
+            # at full-bf16 + quantized and OOMed the chip). Rewrite the
+            # CALLER's layers dict in place so the unfused wq/wkv free now
+            # and later pops release the only remaining references.
+            orig_layers = params["layers"]
+            orig_layers.clear()
+            orig_layers.update(fused["layers"])
+            params = dict(fused)
+            params["layers"] = orig_layers
+        else:
+            params = fused
+        _mark_fused_tp = Nr  # the unfuse reshape needs THIS tp, not the
+        # running mesh's (models/decoder._project_qkv)
+    else:
+        _mark_fused_tp = 0
     out = dict(params)
     layers = params["layers"] if drop_originals else dict(params["layers"])
-    sigma = sigma_ffn and jnp.dtype(qdtype) == jnp.dtype(jnp.int4)
-    N = max(int(sigma_tp), 1)
     for key, axes in _LAYER_QUANT_AXES.items():
         if key in layers:
             w = layers.pop(key) if drop_originals else layers[key]
@@ -640,6 +787,19 @@ def quantize_decoder_params(
                     jnp.arange(N)[:, None] * W + blk[None, :]
                 ).reshape(-1)
                 w = jnp.take(w, perm, axis=1)
+            if riff and key == "gate_up_proj":
+                # Riffle also flattens gate/up into ONE [L, H, 2I] matmul
+                # (same launch saving as σ), laid out per riffle block b
+                # as [gate_b | up_b] — the riffle-packed kernel output is
+                # then each block's canonical halves, SwiGLU splits them
+                # elementwise, and the products land in CANONICAL I order
+                # (down_proj needs no row permutation, unlike σ).
+                L_, _, H_, I_ = w.shape
+                assert I_ % Nr == 0 and (I_ // Nr) % 2 == 0, (I_, Nr)
+                w = jnp.transpose(
+                    w.reshape(L_, 2, H_, Nr, I_ // Nr), (0, 2, 3, 1, 4)
+                ).reshape(L_, H_, 2 * I_)
+                axes = (1,)
             if sigma and key == "gate_up_proj":
                 # σ-FFN also FLATTENS gate/up into ONE [L, H, 2I] matmul
                 # (output cols [gate_b | up_b] per σ block b): the packed
@@ -657,7 +817,27 @@ def quantize_decoder_params(
                     w.reshape(L_, 2, H_, N, I_ // N), (0, 2, 3, 1, 4)
                 ).reshape(L_, H_, 2 * I_)
                 axes = (1,)
-            layers[key] = quantize(w, axes, qdtype, group_size=group_size)
+            # Riffle block count per weight: tp-SHARDED output axes (wqkv /
+            # gate_up — 'out' kind) need one block per shard; 'contract'
+            # weights (o_proj / down) keep their output axis replicated, so
+            # ONE whole-axis block is both correct for any tp and the form
+            # whose per-shard [evens | odds] concat is already canonical.
+            nr_key = 0 if not riff else (
+                Nr if key in ("wq", "wkv", "wqkv", "gate_up_proj") else 1
+            )
+            layers[key] = quantize(w, axes, qdtype, group_size=group_size,
+                                   riffle_blocks=nr_key)
+            if key == "wqkv" and _mark_fused_tp:
+                layers[key] = dataclasses.replace(
+                    layers[key], fused_tp=_mark_fused_tp
+                )
+            if riff and key == "gate_up_proj":
+                # The per-block SwiGLU split assumes an unpadded stored
+                # axis (true for every real FFN width — 2I is 512-aligned).
+                assert 2 * layers[key].q.shape[-1] == w.shape[-1], (
+                    "riffle gate_up hit quantize()'s lane-alignment "
+                    "padding — unsupported"
+                )
             if sigma and key in ("gate_up_proj", "down_proj"):
                 if key == "gate_up_proj":
                     # σ's block math assumes an unpadded stored axis (the
@@ -678,7 +858,8 @@ def quantize_decoder_params(
     out["layers"] = layers
     if "lm_head" in params:
         w = params.pop("lm_head") if drop_originals else params["lm_head"]
-        out["lm_head"] = quantize(w, (0,), qdtype, group_size=group_size)
+        out["lm_head"] = quantize(w, (0,), qdtype, group_size=group_size,
+                                  riffle_blocks=Nr)
     elif "embed" in params and not (
         jnp.dtype(qdtype) == jnp.dtype(jnp.int4)
         and params["embed"].shape[0] % 2
@@ -692,7 +873,7 @@ def quantize_decoder_params(
         # packing) keeps the dense tied unembed.
         out["lm_head"] = quantize(
             jnp.transpose(params["embed"]), (0,), qdtype,
-            group_size=group_size,
+            group_size=group_size, riffle_blocks=Nr,
         )
     return out
 
@@ -706,11 +887,15 @@ def dequantize_tree(params, dtype=jnp.bfloat16):
     def walk(node, key=None):
         if isinstance(node, QTensor):
             w = node.dequant(dtype)
-            if key == "gate_up_proj" and node.sigma_out and w.ndim == 3:
+            if key == "gate_up_proj" and w.ndim == 3 and (
+                node.sigma_out or node.riffle_groups
+            ):
                 # Fold the flat per-block [gate_b | up_b] layout back to
-                # the canonical [L, 2, H, I] (inverse of the sigma_tp
-                # blocking in quantize_decoder_params).
-                N = node.sigma_groups
+                # the canonical [L, 2, H, I] (inverse of the sigma_tp /
+                # riffle_tp blocking in quantize_decoder_params).
+                N = node.sigma_groups if node.sigma_out else (
+                    node.riffle_groups
+                )
                 L_, H_, I2 = w.shape
                 w = jnp.transpose(
                     w.reshape(L_, H_, N, 2, I2 // (2 * N)), (0, 3, 1, 2, 4)

@@ -447,3 +447,155 @@ def test_sigma_out_with_padded_output():
         ops_mod.set_backend(prev if prev else "auto")
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Riffle-packed column order (round 5: byte j packs canonical cols
+# (j, j + Wb/2) per block, so the kernel's no-interleave output IS canonical
+# — measured +8.0% on the int4+int8KV headline)
+
+
+@pytest.mark.parametrize("blocks", [1, 2])
+def test_riffle_qeinsum_matches_dequant(blocks):
+    """Riffled qeinsum must equal einsum on its own dequantized (canonical)
+    weight — grouped scales, both block counts, XLA dual-dot path."""
+    C, O = 64, 128
+    w = jax.random.normal(jax.random.PRNGKey(0), (C, O), jnp.float32)
+    qt = quantize(w, (0,), jnp.int4, group_size=16, riffle_blocks=blocks)
+    assert qt.riffle_groups == blocks
+    dq = qt.dequant(jnp.float32)
+    assert dq.shape == (C, O)
+    # int4 g=16 quantization error only (no layout error)
+    assert float(jnp.abs(dq - w).max()) < float(jnp.abs(w).max()) * 0.15
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, C), jnp.float32)
+    got = qeinsum("bc,co->bo", x, qt)
+    want = jnp.einsum("bc,co->bo", x, dq)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_riffle_padded_wide_output():
+    """Riffle + lane-alignment padding (the lm_head case): pad columns land
+    at the END of the recombined canonical axis, so the trailing
+    [:O_logical] slice is exact — on both the XLA path and the layered
+    kernel path (interpret)."""
+    import dataclasses
+
+    C, O = 64, 8448  # O/2 = 4224 -> storage pads to 4608
+    w = jax.random.normal(jax.random.PRNGKey(0), (C, O), jnp.float32)
+    qt = quantize(w, (0,), jnp.int4, group_size=32, riffle_blocks=1)
+    assert qt.q.shape[-1] == 4608
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, C), jnp.float32)
+    dq = qt.dequant(jnp.float32)
+    assert dq.shape == (C, O)
+    got = qeinsum("bc,co->bo", x, qt)
+    want = jnp.einsum("bc,co->bo", x, dq)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    import lite_llama_tpu.ops as ops_mod
+
+    prev = ops_mod._BACKEND
+    ops_mod.set_backend("pallas")
+    try:
+        lt = dataclasses.replace(
+            qt, q=qt.q[None], scale=qt.scale[None],
+            layer=jnp.asarray(0, jnp.int32),
+        )
+        got_k = qeinsum("bc,co->bo", x, lt)
+    finally:
+        ops_mod.set_backend(prev if prev else "auto")
+    assert got_k.shape == (3, O)
+    # W4A8 kernel path: activation int8 quantization tolerance
+    rel = float(jnp.abs(got_k - want).max() / jnp.abs(want).max())
+    assert rel < 0.05, rel
+
+
+def test_riffle_decoder_params_layout_and_parity():
+    """quantize_decoder_params(riffle=True): wqkv fused before packing,
+    gate_up flat [L, H, 2I], per-key riffle block counts; dequantize_tree
+    folds back to canonical; generation matches the dequantized engine."""
+    cfg = LlamaConfig(**CFG)
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    qp = quantize_decoder_params(params, jnp.int4, group_size=16,
+                                 riffle=True)
+    L = qp["layers"]
+    assert "wqkv" in L and "wq" not in L  # fused before packing
+    assert L["wqkv"].riffle_groups == 1
+    gu, dn = L["gate_up_proj"], L["down_proj"]
+    assert gu.riffle_groups == 1 and gu.q.ndim == 3
+    assert not gu.sigma_out and not dn.sigma_in
+    assert dn.riffle_groups == 1
+    assert L["o_proj"].riffle_groups == 1
+
+    # dequantized tree folds back to canonical layouts and drives a
+    # token-identical engine
+    engine = InferenceEngine(cfg, qp, page_size=8, max_reqs=4, num_pages=32,
+                             decode_chunk=4)
+    out = TextGenerator(engine).generate_tokens(
+        [[1, 2, 3], [7, 8]], max_gen_len=8, temperature=0.0)
+    engine2 = InferenceEngine(cfg, dequantize_tree(qp, jnp.float32),
+                              page_size=8, max_reqs=4, num_pages=32,
+                              decode_chunk=4)
+    out2 = TextGenerator(engine2).generate_tokens(
+        [[1, 2, 3], [7, 8]], max_gen_len=8, temperature=0.0)
+    for a, b in zip(out, out2):
+        assert a.token_ids == b.token_ids
+
+
+def test_riffle_logits_close_to_bf16():
+    """Riffled int4 g=16 logits stay close to full precision (same gate the
+    canonical int4 layout passes) — the riffle scale pairing (j, j+Wb/2)
+    must not measurably change quantization quality."""
+    from lite_llama_tpu.executor.kv_cache import alloc_prefill, create_kv_cache
+    from lite_llama_tpu.models.decoder import AttnContext, decoder_prefill
+
+    cfg = LlamaConfig(**CFG)
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    qp = quantize_decoder_params(params, jnp.int4, group_size=16,
+                                 riffle=True)
+    ids = jnp.asarray([[1, 2, 3, 4, 5, 6, 7, 8]], jnp.int32)
+    lens = jnp.asarray([8], jnp.int32)
+
+    def logits_for(p):
+        cache = create_kv_cache(
+            cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim,
+            num_pages=8, page_size=8, max_reqs=1, max_seq_len=64,
+            dtype=jnp.float32,
+        )
+        cache = alloc_prefill(cache, jnp.asarray([0], jnp.int32), lens)
+        ctx = AttnContext(
+            table_rows=cache.page_table[:1], seq_lens=lens,
+            start_pos=jnp.zeros((1,), jnp.int32), chunk_lens=lens,
+        )
+        lg, _ = decoder_prefill(p, cfg, cache.kv_pages, ctx, input_ids=ids)
+        return np.asarray(lg)
+
+    lq = logits_for(qp)
+    lf = logits_for(params)
+    rel = np.abs(lq - lf).max() / np.abs(lf).max()
+    assert rel < 0.25, rel  # int4 g=16 on a tiny model: same bound as σ
+
+
+def test_riffle_sigma_mutually_exclusive():
+    cfg = LlamaConfig(**CFG)
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    with pytest.raises(AssertionError, match="mutually exclusive"):
+        quantize_decoder_params(params, jnp.int4, group_size=16,
+                                sigma_ffn=True, riffle=True)
+
+
+def test_riffle_fuse_after_pack_rejected():
+    """Byte-fusing riffled wq/wkv must be refused loudly (riffled bytes
+    carry no contiguous canonical slices)."""
+    import dataclasses
+
+    from lite_llama_tpu.models.decoder import fuse_qkv_params
+
+    cfg = LlamaConfig(**CFG)
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    qp = quantize_decoder_params(params, jnp.int4, group_size=16)
+    qp["layers"]["wq"] = dataclasses.replace(
+        qp["layers"]["wq"], riffle_groups=1
+    )
+    with pytest.raises(ValueError, match="riffle"):
+        fuse_qkv_params(qp)

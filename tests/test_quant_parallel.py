@@ -587,3 +587,84 @@ def test_tp_quantized_pool_attention_kernel_parity(monkeypatch):
         calls
     ), set(calls)
     assert got == want
+
+
+def test_riffle_tp_kernel_routing(monkeypatch):
+    """Riffle-packed weights (riffle_tp=2) ride the manual-tp W4A8 kernel
+    (probe-asserted for both the 'out' and 'contract' kinds) and prefill
+    logits match the single-device riffle kernel engine within per-shard
+    activation-quant tolerance — the riffle analogue of
+    test_sigma_tp_kernel_routing (round 5: riffle supersedes σ, kernel
+    output canonical with no interleave anywhere)."""
+    import lite_llama_tpu.ops as ops_mod
+    from lite_llama_tpu.models.decoder import AttnContext, decoder_prefill
+    from lite_llama_tpu.ops import qmatmul as qmm
+
+    cfg = _kernel_cfg()
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    q_tp = quantize_decoder_params(
+        params, jnp.int4, group_size=64, riffle=True, riffle_tp=2
+    )
+    L = q_tp["layers"]
+    assert "wqkv" in L and L["wqkv"].riffle_groups == 2
+    assert L["gate_up_proj"].riffle_groups == 2
+    assert L["o_proj"].riffle_groups == 1  # 'contract': whole-axis block
+    assert L["down_proj"].riffle_groups == 1
+    ids = jnp.asarray(
+        [[1, 2, 3, 4, 5, 0, 0, 0], [9, 8, 7, 0, 0, 0, 0, 0]], jnp.int32
+    )
+    lens = jnp.asarray([5, 3], jnp.int32)
+    ctx = AttnContext(
+        table_rows=jnp.asarray([[0, 1], [2, 3]], jnp.int32),
+        seq_lens=lens, start_pos=jnp.zeros((2,), jnp.int32),
+        chunk_lens=lens,
+    )
+    prev = ops_mod._BACKEND
+    ops_mod.set_backend("pallas")
+    try:
+        base = InferenceEngine(cfg, q_tp, page_size=8, max_reqs=4,
+                               num_pages=32)
+        want, _ = jax.jit(
+            lambda p, c: decoder_prefill(p, cfg, c, ctx, input_ids=ids)
+        )(base.params, base.cache.kv_pages)
+
+        calls = []
+        real = qmm.quantized_matmul_packed_tp
+
+        def probe(*a, **k):
+            calls.append(k.get("kind") or a[5])
+            return real(*a, **k)
+
+        monkeypatch.setattr(qmm, "quantized_matmul_packed_tp", probe)
+        sharded = InferenceEngine(
+            cfg, q_tp, page_size=8, max_reqs=4, num_pages=32,
+            mesh=make_mesh(tp=2, dp=1),
+        )
+        got, _ = jax.jit(
+            lambda p, c: decoder_prefill(
+                p, cfg, c, ctx, input_ids=ids, shard=sharded._mshard
+            )
+        )(sharded.params, sharded.cache.kv_pages)
+    finally:
+        ops_mod.set_backend(prev if prev else "auto")
+    assert {"out", "contract"} <= set(calls), calls
+    a, b = np.asarray(want), np.asarray(got)
+    assert np.abs(a - b).max() < 0.03 * np.abs(a).max(), (
+        np.abs(a - b).max(), np.abs(a).max()
+    )
+
+
+def test_riffle_tp_mismatch_rejected():
+    """Riffle block counts that do not match the mesh must be rejected by
+    the sharding layer for 'out'-sharded weights."""
+    from lite_llama_tpu.parallel.shardings import ShardingPolicy
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+    cfg = _kernel_cfg()
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    qp = quantize_decoder_params(params, jnp.int4, group_size=64,
+                                 riffle=True, riffle_tp=1)
+    pol = ShardingPolicy(mesh=make_mesh(tp=2, dp=1))
+    with pytest.raises(ValueError, match="riffle"):
+        pol.shard_params(cfg, qp)
