@@ -311,7 +311,9 @@ def main():
         params = quantize_decoder_params(
             params, qdtypes[quant], drop_originals=True,
             group_size=128 if quant == "int4" else None,
-            sigma_ffn=quant == "int4",  # skip the FFN interleave copies
+            # riffle packing: kernel [evens|odds] output IS canonical order,
+            # no interleave copy on ANY packed matmul (supersedes sigma_ffn)
+            riffle=quant == "int4",
         )
     engine = build_engine(cfg, params, bs, prompt_len, gen_len,
                           page_size, chunk, kv_quant)
@@ -420,7 +422,7 @@ def _run_extras_rows(enabled, cfg, result, prompts, bs, prompt_len, gen_len,
                 params = quantize_decoder_params(
                     params, wq, drop_originals=True,
                     group_size=128 if wq == jnp.int4 else None,
-                    sigma_ffn=wq == jnp.int4,
+                    riffle=wq == jnp.int4,
                 )
             eng = build_engine(cfg, params, bs, prompt_len, gen_len,
                                page_size, chunk, kv_quant=kv_q)
@@ -466,7 +468,7 @@ def _run_extras_rows(enabled, cfg, result, prompts, bs, prompt_len, gen_len,
             params = quantize_decoder_params(
                 init_decoder_params(cfg1b, jax.random.PRNGKey(0)),
                 jnp.int4, drop_originals=True, group_size=128,
-                sigma_ffn=True,
+                riffle=True,
             )
             eng = build_engine(cfg1b, params, 16, prompt_len, gen_len,
                                page_size, chunk, kv_quant=True)
@@ -576,7 +578,7 @@ def _run_extras_rows(enabled, cfg, result, prompts, bs, prompt_len, gen_len,
             # TTFT p50 1.8 s — above the round-2 BATCH-loop number).
             params = quantize_decoder_params(
                 fresh(), jnp.int4, drop_originals=True, group_size=128,
-                sigma_ffn=True,
+                riffle=True,
             )
             detail["serve_int4"] = {
                 k: (round(v, 3) if isinstance(v, float) else v)

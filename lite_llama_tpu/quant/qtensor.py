@@ -270,6 +270,7 @@ def quantize(
         O *= d
 
     w2 = w.reshape(*stack, C, O)
+    pad_to = 0
     if jnp.dtype(qdtype) == jnp.dtype(jnp.int4):
         assert O % 2 == 0, f"int4 packing needs an even output width, got {O}"
         if O >= 8192 and (O // 2) % 512:
@@ -280,26 +281,12 @@ def quantize(
             # 711 us vs ~150 us at SOL). Consumers slice outputs back to
             # the logical width (storage width != prod(out_shape) marks a
             # padded tensor — no extra field needed).
-            O_pad = -(-O // 1024) * 1024
-            w2 = jnp.pad(w2, [(0, 0)] * (w2.ndim - 1) + [(0, O_pad - O)])
+            pad_to = -(-O // 1024) * 1024
         if riffle_blocks:
-            # Riffle column pre-permutation (AFTER padding, so the perm is
-            # over the stored axis): permuted col 2j = block col j,
-            # permuted col 2j+1 = block col j + Wb/2. Standard pair
-            # packing of the permuted matrix then yields the riffle bytes
-            # AND the correctly-paired scales.
-            N = riffle_blocks
-            O_p = w2.shape[-1]
-            assert O_p % N == 0 and (O_p // N) % 2 == 0, (O_p, N)
-            Wb = O_p // N
-            half = Wb // 2
-            idx_blk = jnp.stack(
-                [jnp.arange(half), half + jnp.arange(half)], axis=-1
-            ).reshape(-1)
-            perm = (
-                jnp.arange(N)[:, None] * Wb + idx_blk[None, :]
-            ).reshape(-1)
-            w2 = jnp.take(w2, perm, axis=-1)
+            O_p = pad_to or O
+            assert O_p % riffle_blocks == 0 and (
+                O_p // riffle_blocks
+            ) % 2 == 0, (O_p, riffle_blocks)
     else:
         assert not riffle_blocks, "riffle_blocks is int4-packing-only"
     if group_size is not None:
@@ -308,9 +295,15 @@ def quantize(
     # gate/up weight eagerly materializes several full fp32 intermediates
     # (~5.7 GB each) whose async OOM surfaces much later at an unrelated
     # sync point — a genuinely nasty failure mode. lax.map keeps the
-    # transient at one layer's worth.
+    # transient at one layer's worth. The lane-alignment pad and the riffle
+    # column pre-permutation run INSIDE the per-slice map for the same
+    # reason: eager whole-stack pad/take copies of a 2.8 GB gate_up stack
+    # (round 5) pushed the quantization-time peak past HBM
+    # nondeterministically, surfacing as ResourceExhausted at much later
+    # sync points.
     q, scale = _quantize_2d_stacked(
-        w2, jnp.dtype(qdtype).name, bool(stack), group_size
+        w2, jnp.dtype(qdtype).name, bool(stack), group_size,
+        pad_to=pad_to, riffle_blocks=int(riffle_blocks),
     )
     return QTensor(
         q=q,
@@ -323,10 +316,37 @@ def quantize(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("qdtype_name", "stacked", "group_size")
+    jax.jit,
+    static_argnames=("qdtype_name", "stacked", "group_size", "pad_to",
+                     "riffle_blocks"),
 )
-def _quantize_2d_stacked(w2, qdtype_name: str, stacked: bool, group_size):
+def _quantize_2d_stacked(w2, qdtype_name: str, stacked: bool, group_size,
+                         pad_to: int = 0, riffle_blocks: int = 0):
+    import numpy as _np
+
     def one(w):  # [C, O]
+        if pad_to and pad_to > w.shape[-1]:
+            w = jnp.pad(w, [(0, 0)] * (w.ndim - 1)
+                        + [(0, pad_to - w.shape[-1])])
+        if riffle_blocks:
+            # Riffle column pre-permutation (AFTER padding, so the perm is
+            # over the stored axis): permuted col 2j = block col j,
+            # permuted col 2j+1 = block col j + Wb/2. Standard pair
+            # packing of the permuted matrix then yields the riffle bytes
+            # AND the correctly-paired scales. Static numpy indices; the
+            # take runs per slice in the INPUT dtype (one layer's worth of
+            # transient, not a whole-stack copy).
+            N = riffle_blocks
+            O_p = w.shape[-1]
+            Wb = O_p // N
+            half = Wb // 2
+            idx_blk = _np.stack(
+                [_np.arange(half), half + _np.arange(half)], axis=-1
+            ).reshape(-1)
+            perm = (
+                _np.arange(N)[:, None] * Wb + idx_blk[None, :]
+            ).reshape(-1)
+            w = jnp.take(w, perm, axis=-1)
         C, O = w.shape
         wf = w.astype(jnp.float32)
         if group_size is not None:
@@ -860,6 +880,12 @@ def quantize_decoder_params(
         w = params.pop("lm_head") if drop_originals else params["lm_head"]
         out["lm_head"] = quantize(w, (0,), qdtype, group_size=group_size,
                                   riffle_blocks=Nr)
+        if drop_originals:
+            # Drain before returning (like the per-layer syncs above): the
+            # lm_head quantize's fp32 transients otherwise pipeline into
+            # whatever the caller dispatches next (engine build).
+            jax.block_until_ready(out["lm_head"].q)
+            del w
     elif "embed" in params and not (
         jnp.dtype(qdtype) == jnp.dtype(jnp.int4)
         and params["embed"].shape[0] % 2
@@ -875,6 +901,8 @@ def quantize_decoder_params(
             jnp.transpose(params["embed"]), (0,), qdtype,
             group_size=group_size, riffle_blocks=Nr,
         )
+        if drop_originals:
+            jax.block_until_ready(out["lm_head"].q)  # drain (see above)
     return out
 
 
